@@ -1,0 +1,170 @@
+"""Diffusion refiner network (``DiffusionTts``, vqvae/diff_model.py:133-322), NTC.
+
+GPT latents (B, T_code, 768) -> conditioned epsilon/variance prediction over
+a 128-bin normalized mel at 4x the code rate.  Classifier-free conditioning
+is a learned ``unconditioned_embedding``; at train time whole batch elements
+are dropped to it with probability ``unconditioned_percentage`` and layers
+(except first/last) are layer-dropped with prob ``layer_drop``.
+
+TPU-first notes: the ``conditioning_free`` branch is an input switch (a
+(B,)-bool), so CFG inference batches the conditional and unconditional
+passes into ONE model call at 2x batch instead of the reference's two calls
+per step.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from detail_tts_tpu.config import DiffusionConfig
+from detail_tts_tpu.nn.common import Conv1d, Dense, GroupNorm32
+from detail_tts_tpu.nn.diff_blocks import (AttentionBlock, DiffResBlock,
+                                           DiffusionLayer, timestep_embedding)
+
+
+class DiffusionTts(nn.Module):
+    cfg: DiffusionConfig
+
+    def setup(self):
+        c = self.cfg
+        mc = c.model_channels
+        self.inp_block = Conv1d(mc, 3, padding=1, name="inp_block")
+        self.time_embed_0 = Dense(mc, name="time_embed_0")
+        self.time_embed_1 = Dense(mc, name="time_embed_1")
+
+        self.code_embedding = nn.Embed(c.in_tokens, mc, name="code_embedding")
+        self.code_converter = [
+            AttentionBlock(mc, c.num_heads, relative_pos_embeddings=True,
+                           name=f"code_converter_{i}") for i in range(3)
+        ]
+        self.code_norm = GroupNorm32(mc, name="code_norm")
+        self.latent_conditioner_conv = Conv1d(mc, 3, padding=1,
+                                              name="latent_conditioner_conv")
+        self.latent_conditioner_attn = [
+            AttentionBlock(mc, c.num_heads, relative_pos_embeddings=True,
+                           name=f"latent_conditioner_{i}") for i in range(4)
+        ]
+        self.contextual_embedder_conv0 = Conv1d(mc, 3, stride=2, padding=1,
+                                                name="contextual_embedder_conv0")
+        self.contextual_embedder_conv1 = Conv1d(mc * 2, 3, stride=2, padding=1,
+                                                name="contextual_embedder_conv1")
+        self.contextual_embedder_attn = [
+            AttentionBlock(mc * 2, c.num_heads, relative_pos_embeddings=True,
+                           name=f"contextual_embedder_{i}") for i in range(5)
+        ]
+        self.unconditioned_embedding = self.param(
+            "unconditioned_embedding", nn.initializers.normal(1.0), (1, 1, mc))
+        self.conditioning_timestep_integrator = [
+            DiffusionLayer(mc, c.dropout, c.num_heads,
+                           name=f"cond_integrator_{i}") for i in range(3)
+        ]
+        self.integrating_conv = Conv1d(mc, 1, name="integrating_conv")
+        self.mel_head = Conv1d(c.in_channels, 3, padding=1, name="mel_head")
+
+        self.layers = (
+            [DiffusionLayer(mc, c.dropout, c.num_heads, name=f"layer_{i}")
+             for i in range(c.num_layers)]
+            + [DiffResBlock(mc, mc, c.dropout, use_scale_shift_norm=True,
+                            name=f"layer_res_{i}") for i in range(3)]
+        )
+        self.out_norm = GroupNorm32(mc, name="out_norm")
+        self.out_conv = Conv1d(c.out_channels, 3, padding=1, name="out_conv")
+
+    # ----------------------------------------------------------------- parts
+
+    def get_conditioning(self, mel: jax.Array) -> jax.Array:
+        """Reference prompt -> (B, 2*model_channels) (diff_model.py:221-229).
+
+        mel: (B, T_ref, in_channels).
+        """
+        h = self.contextual_embedder_conv0(mel)
+        h = self.contextual_embedder_conv1(h)
+        for blk in self.contextual_embedder_attn:
+            h = blk(h)
+        return jnp.mean(h, axis=1)
+
+    def timestep_independent(self, aligned_latent: jax.Array,
+                             conditioning_latent: jax.Array,
+                             expected_seq_len: int,
+                             unconditioned_mask: Optional[jax.Array] = None
+                             ) -> jax.Array:
+        """(B, T_code, in_latent) -> code embedding (B, expected_seq_len, mc)
+        (diff_model.py:231-260; latent path of the live config).
+
+        ``unconditioned_mask``: optional (B,) bool — replaces those batch
+        elements with the learned unconditioned embedding (CFG dropout).
+        """
+        cond_scale, cond_shift = jnp.split(conditioning_latent, 2, axis=-1)
+        h = self.latent_conditioner_conv(aligned_latent)
+        for blk in self.latent_conditioner_attn:
+            h = blk(h)
+        h = self.code_norm(h) * (1 + cond_scale[:, None, :]) + cond_shift[:, None, :]
+
+        if unconditioned_mask is not None:
+            h = jnp.where(unconditioned_mask[:, None, None],
+                          self.unconditioned_embedding.astype(h.dtype), h)
+
+        # nearest-neighbour x4 upsample to the mel frame rate
+        # (F.interpolate(mode='nearest'), diff_model.py:252)
+        reps = expected_seq_len // h.shape[1] if h.shape[1] else 4
+        h = jnp.repeat(h, reps, axis=1)[:, :expected_seq_len]
+        return h
+
+    def code_pred(self, expanded_code_emb: jax.Array) -> jax.Array:
+        return self.mel_head(expanded_code_emb)
+
+    # --------------------------------------------------------------- forward
+
+    def __call__(self, x: jax.Array, timesteps: jax.Array,
+                 precomputed_embeddings: Optional[jax.Array] = None,
+                 aligned_latent: Optional[jax.Array] = None,
+                 conditioning_latent: Optional[jax.Array] = None,
+                 conditioning_free: Optional[jax.Array] = None,
+                 layer_drop_rng: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        """x: noisy mel (B, T, in_channels); timesteps: (B,).
+
+        conditioning_free: optional (B,) bool switch selecting the learned
+        unconditioned embedding per element (enables single-call CFG).
+        Returns (B, T, out_channels) = [epsilon | variance logits].
+        """
+        c = self.cfg
+        b, t, _ = x.shape
+
+        if precomputed_embeddings is not None:
+            code_emb = precomputed_embeddings
+        else:
+            code_emb = self.timestep_independent(
+                aligned_latent, conditioning_latent, t)
+        if conditioning_free is not None:
+            uncond = jnp.broadcast_to(
+                self.unconditioned_embedding.astype(code_emb.dtype), code_emb.shape)
+            code_emb = jnp.where(conditioning_free[:, None, None], uncond, code_emb)
+
+        temb = timestep_embedding(timesteps, c.model_channels)
+        temb = self.time_embed_1(jax.nn.silu(self.time_embed_0(temb)))
+
+        for blk in self.conditioning_timestep_integrator:
+            code_emb = blk(code_emb, temb, deterministic=deterministic)
+
+        h = self.inp_block(x)
+        h = jnp.concatenate([h, code_emb], axis=-1)
+        h = self.integrating_conv(h)
+
+        n_layers = len(self.layers)
+        for i, lyr in enumerate(self.layers):
+            y = lyr(h, temb, deterministic=deterministic)
+            if (not deterministic and c.layer_drop > 0 and 0 < i < n_layers - 1
+                    and layer_drop_rng is not None):
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(layer_drop_rng, i), 1.0 - c.layer_drop)
+                h = jnp.where(keep, y, h)
+            else:
+                h = y
+
+        h = h.astype(jnp.float32)
+        h = jax.nn.silu(self.out_norm(h))
+        return self.out_conv(h)

@@ -1,0 +1,201 @@
+"""Common NN building blocks (flax.linen), NTC layout: (batch, time, channels).
+
+The torch reference works channels-first; everything here is time-major with
+channels on the last (lane) dimension, which is the layout XLA tiles best on
+TPU.  Parity with torch modules is field-by-field (the checkpoint converter
+transposes conv kernels).
+
+Reference citations are given per class.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1  # vqvae/modules/modules.py:13
+
+
+def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
+    """(B,) lengths -> (B, T) float32 {0,1} mask (commons.py:144)."""
+    pos = jnp.arange(max_length, dtype=lengths.dtype)
+    return (pos[None, :] < lengths[:, None]).astype(jnp.float32)
+
+
+def mish(x: jax.Array) -> jax.Array:
+    """x * tanh(softplus(x)) (modules.py:497-502)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d equivalent on NTC tensors.
+
+    ``padding`` follows the torch convention (symmetric zero-pad count).
+    Kernel layout is (k, in_per_group, out) as in flax; the converter maps
+    torch (out, in_per_group, k) kernels onto it.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d equivalent on NTC tensors.
+
+    out_len = (L-1)*stride - 2*padding + kernel_size + output_padding.
+    Implemented as an input-dilated convolution with a spatially-flipped
+    kernel — the exact transpose-convolution definition torch uses.
+    Kernel param layout: (k, out, in) (converter maps torch (in, out, k)).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.features, in_features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # Flip spatially, put dims as (k, in, out) for WIO.
+        w = jnp.flip(kernel, axis=0).transpose(0, 2, 1)
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(w.dtype),
+            w,
+            window_strides=(1,),
+            padding=[(pad, pad + self.output_padding)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm over the channel (last) dim, eps=1e-5 (torch default)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
+
+
+def group_norm_groups(channels: int) -> int:
+    """Reference ``normalization`` group count rule (diff_util.py:118-133)."""
+    groups = 32
+    if channels <= 16:
+        groups = 8
+    elif channels <= 64:
+        groups = 16
+    while channels % groups != 0:
+        groups = int(groups / 2)
+    assert groups > 2
+    return groups
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 (diff_util.py:113-115), NTC layout."""
+
+    channels: int
+    groups: Optional[int] = None
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = self.groups if self.groups is not None else group_norm_groups(self.channels)
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(num_groups=g, epsilon=self.epsilon, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(orig_dtype)
+
+
+class Dense(nn.Module):
+    """nn.Linear equivalent (kernel (in, out); converter transposes torch)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        kernel_init=self.kernel_init, name="dense")(x)
+
+
+class Embed(nn.Module):
+    """Embedding table with configurable init std."""
+
+    num_embeddings: int
+    features: int
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=self.init_std),
+            (self.num_embeddings, self.features),
+        )
+        return jnp.take(table, ids, axis=0)
+
+
+def fused_gate(x: jax.Array) -> jax.Array:
+    """tanh(a) * sigmoid(b) over a channel-split (modules.py:16-22), NTC."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.tanh(a) * jax.nn.sigmoid(b)
+
+
+def rand_slice_starts(rng: jax.Array, lengths: jax.Array, segment_size: int) -> jax.Array:
+    """Random per-example slice starts (commons.py:76-84)."""
+    max_starts = jnp.maximum(lengths - segment_size + 1, 1).astype(jnp.float32)
+    u = jax.random.uniform(rng, lengths.shape)
+    return (u * max_starts).astype(jnp.int32)
+
+
+def slice_segments(x: jax.Array, starts: jax.Array, segment_size: int) -> jax.Array:
+    """Gather fixed-size time slices per batch element; x is (B, T, C)."""
+    def take(xi, si):
+        return jax.lax.dynamic_slice_in_dim(xi, si, segment_size, axis=0)
+
+    return jax.vmap(take)(x, starts)

@@ -1,0 +1,160 @@
+"""Diffusion-net building blocks (vqvae/utils/diff_util.py, vqvae/diff_model.py), NTC.
+
+* :class:`T5RelativePositionBias` — bucketed relative attention bias
+  (xtransformers.py:146-186; num_buckets=32, max_distance=64 in AttentionBlock).
+* :class:`AttentionBlock` — GroupNorm32 -> qkv 1x1 -> legacy-scaled attention
+  (scale applied to q and k as 1/sqrt(sqrt(ch))) -> zero-init proj, residual.
+* :class:`DiffResBlock` — scale-shift GroupNorm FiLM residual block.
+* :class:`DiffusionLayer` — DiffResBlock + AttentionBlock.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detail_tts_tpu.nn.common import Conv1d, Dense, GroupNorm32
+
+
+def relative_position_bucket(relative_position: jax.Array, num_buckets: int = 32,
+                             max_distance: int = 128) -> jax.Array:
+    """Non-causal T5 bucketing (xtransformers.py:155-175)."""
+    n = -relative_position
+    num_buckets //= 2
+    ret = (n < 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(n)
+
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5RelativePositionBias(nn.Module):
+    scale: float
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 64
+
+    @nn.compact
+    def __call__(self, length: int) -> jax.Array:
+        """Returns bias (1, heads, L, L) to add to qk logits."""
+        pos = jnp.arange(length)
+        rel = pos[None, :] - pos[:, None]
+        buckets = relative_position_bucket(rel, self.num_buckets, self.max_distance)
+        table = self.param("embedding", nn.initializers.normal(1.0),
+                           (self.num_buckets, self.heads))
+        values = jnp.take(table, buckets, axis=0)  # (L, L, H)
+        return values.transpose(2, 0, 1)[None] * self.scale
+
+
+class AttentionBlock(nn.Module):
+    """diff_util.AttentionBlock (diff_util.py:172-215)."""
+
+    channels: int
+    num_heads: int = 1
+    relative_pos_embeddings: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        """x: (B, T, C). mask: optional (B, T) multiplicative post-softmax
+        mask (the reference multiplies after softmax, diff_util.py:163-166)."""
+        b, t, c = x.shape
+        h = self.num_heads
+        ch = c // h
+        y = GroupNorm32(self.channels, name="norm")(x)
+        qkv = Conv1d(3 * c, 1, name="qkv")(y)  # (B, T, 3C), layout [q|k|v] per head
+        # Reference packs per-head contiguous [q,k,v]: reshape (B*H, 3ch, T)
+        qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)  # (B,H,T,3ch)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / math.sqrt(math.sqrt(ch))
+        logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
+        if self.relative_pos_embeddings:
+            logits = logits + T5RelativePositionBias(
+                scale=ch ** 0.5, heads=self.num_heads, num_buckets=32,
+                max_distance=64, name="rel_pos")(t)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        if mask is not None:
+            w = w * mask[:, None, None, :]
+        a = jnp.einsum("bhts,bhsd->bhtd", w, v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
+        proj = Conv1d(c, 1, kernel_init=nn.initializers.zeros, name="proj_out")(a)
+        return x + proj
+
+
+class DiffResBlock(nn.Module):
+    """diff_model.ResBlock with use_scale_shift_norm (diff_model.py:59-119)."""
+
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: Optional[int] = None
+    kernel_size: int = 3
+    use_scale_shift_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        out_ch = self.out_channels or self.channels
+        pad = {1: 0, 3: 1, 5: 2}[self.kernel_size]
+
+        h = GroupNorm32(self.channels, name="in_norm")(x)
+        h = jax.nn.silu(h)
+        h = Conv1d(out_ch, 1, name="in_conv")(h)  # efficient_config: 1x1
+
+        e = jax.nn.silu(emb)
+        e = Dense(2 * out_ch if self.use_scale_shift_norm else out_ch, name="emb")(e)
+        e = e[:, None, :]  # (B, 1, ...)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(e, 2, axis=-1)
+            h = GroupNorm32(out_ch, name="out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + e
+            h = GroupNorm32(out_ch, name="out_norm")(h)
+        h = jax.nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = Conv1d(out_ch, self.kernel_size, padding=pad, name="out_conv")(h)
+
+        if out_ch == self.channels:
+            skip = x
+        else:
+            skip = Conv1d(out_ch, 1, name="skip")(x)
+        return skip + h
+
+
+class DiffusionLayer(nn.Module):
+    """ResBlock + rel-pos AttentionBlock (diff_model.py:122-130)."""
+
+    model_channels: int
+    dropout: float
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time_emb: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        y = DiffResBlock(self.model_channels, self.model_channels, self.dropout,
+                         self.model_channels, use_scale_shift_norm=True,
+                         name="resblk")(x, time_emb, deterministic=deterministic)
+        return AttentionBlock(self.model_channels, self.num_heads,
+                              relative_pos_embeddings=True, name="attn")(y)
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding (diff_model.py:20-38); fp32."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb

@@ -1,0 +1,62 @@
+"""Token-sampling ops reproducing HF ``generate`` semantics in jittable JAX.
+
+The reference samples with RepetitionPenaltyLogitsProcessor(2.0) ->
+temperature(0.8) -> top_p(0.8) -> multinomial (vqvae/model_24k.py:782-792 via
+HF generate).  The repetition penalty covers *every* token id present in the
+running sequence — including the constant filler id 1 and the start token of
+the fake prefix — so we carry an explicit seen-token mask.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_repetition_penalty(logits: jax.Array, seen_mask: jax.Array,
+                             penalty: float) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor: score>0 -> /p else *p.
+
+    logits: (B, V); seen_mask: (B, V) bool.
+    """
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, penalized, logits)
+
+
+def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
+    if temperature == 1.0:
+        return logits
+    return logits / temperature
+
+
+def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """HF TopPLogitsWarper (min_tokens_to_keep=1); fp32 softmax."""
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove_sorted = cum <= (1.0 - top_p)
+    # never remove the final (highest-prob) token
+    remove_sorted = remove_sorted.at[..., -1].set(False)
+    # Map back: a logit is removed iff its value is <= the largest removed
+    # sorted logit.  Ties share fate, matching scatter-by-sort-order closely
+    # enough for sampling (exact for distinct logits).
+    threshold = jnp.max(
+        jnp.where(remove_sorted, sorted_logits, -jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits <= threshold, -jnp.inf, logits)
+
+
+def sample_token(rng: jax.Array, logits: jax.Array, *, seen_mask: jax.Array,
+                 temperature: float = 0.8, top_p: float = 0.8,
+                 repetition_penalty: float = 2.0) -> jax.Array:
+    """One decode-step sample, (B, V) -> (B,) int32."""
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
+    logits = apply_temperature(logits, temperature)
+    logits = apply_top_p(logits, top_p)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
