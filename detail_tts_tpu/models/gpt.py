@@ -97,7 +97,7 @@ class GPT2Block(nn.Module):
     ln_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, *, cache_kv=None, cache_len=None, deterministic=True):
+    def __call__(self, x, cache_kv=None, cache_len=None, deterministic=True):
         y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_1")(x)
         a, new_kv = GPT2Attention(self.dim, self.heads, self.dropout, name="attn")(
             y, cache_kv=cache_kv, cache_len=cache_len, deterministic=deterministic)
@@ -126,13 +126,15 @@ class GPT2Stack(nn.Module):
         new_k, new_v = [], []
         block_cls = GPT2Block
         if self.remat and cache is None:
-            block_cls = nn.remat(GPT2Block, static_argnums=(), prevent_cse=False)
+            # static_argnums counts `self` as 0: (x, cache_kv, cache_len,
+            # deterministic) -> deterministic is 4.
+            block_cls = nn.remat(GPT2Block, static_argnums=(4,),
+                                 prevent_cse=False)
         for i in range(self.layers):
             ck = None if cache is None else (cache.k[i], cache.v[i])
             cl = None if cache is None else cache.length
             x, kv = block_cls(self.dim, self.heads, self.dropout, self.ln_eps,
-                              name=f"h_{i}")(
-                x, cache_kv=ck, cache_len=cl, deterministic=deterministic)
+                              name=f"h_{i}")(x, ck, cl, deterministic)
             new_k.append(kv[0])
             new_v.append(kv[1])
         x = nn.LayerNorm(epsilon=self.ln_eps, name="ln_f")(x)

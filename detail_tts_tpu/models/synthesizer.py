@@ -275,3 +275,20 @@ class SynthesizerTrn(nn.Module):
                              conditioning_free=conditioning_free)
         eps, var = jnp.split(out, 2, axis=-1)
         return eps, var
+
+    # ----------------------------------------------------------------- init
+
+    def init_all(self, data: Dict[str, jax.Array],
+                 schedule: DiffusionSchedule, rng: jax.Array):
+        """Touch every live submodule once so ``.init`` creates all params.
+
+        (flax creates params lazily at first call; the torch reference
+        instantiates everything in __init__.)
+        """
+        r_d, r_f = jax.random.split(rng)
+        self.forward_vq(data["mel"], data["spec_length"], train=False)
+        self.forward_gpt(data, deterministic=True)
+        self.forward_diff(data, schedule, r_d, deterministic=True)
+        self.forward_flowvae(data["mel"], data["spec"], data["spec_length"],
+                             r_f, deterministic=True)
+        return None
