@@ -1,0 +1,95 @@
+"""Headline benchmark: end-to-end zero-shot synthesis RTF per chip, batch 8.
+
+Prints ONE JSON line to stdout:
+  {"metric": "synthesis_rtf_batch8", "value": N, "unit": "x_realtime",
+   "vs_baseline": N / 20.0}
+
+Baseline: the reference publishes no numbers (BASELINE.md); the driver-set
+target is >=20x real time per TPU v5e chip at batch 8.  The measured pipeline
+is the full reference `infer` path (AR codes -> GPT latents -> 50-step CFG
+diffusion -> flow-VAE/HiFi-GAN vocoder) with fixed-length decoding so every
+run does identical work.
+
+Env knobs: BENCH_SMALL=1 (tiny CPU-friendly sizes), BENCH_BATCH, BENCH_CODES.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    if small:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from detail_tts_tpu.config import Config, small_test_config
+    from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
+
+    platform = jax.devices()[0].platform
+    log(f"bench: platform={platform} devices={len(jax.devices())}")
+
+    batch = int(os.environ.get("BENCH_BATCH", "2" if small else "8"))
+    gen_codes = int(os.environ.get("BENCH_CODES", "16" if small else "400"))
+    prompt_secs = 3.0
+
+    cfg = small_test_config() if small else Config()
+    ecfg = EngineConfig(
+        max_generate_length=gen_codes,
+        text_buckets=(64,),
+        prompt_buckets=(int(prompt_secs * cfg.data.sampling_rate
+                            / cfg.data.hop_length) // 4 * 4,),
+        code_buckets=(gen_codes,),
+    )
+
+    t0 = time.perf_counter()
+    eng = random_engine(cfg, engine_cfg=ecfg)
+    log(f"bench: init {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    sr = cfg.data.sampling_rate
+    wavs = [rng.uniform(-0.3, 0.3, int(prompt_secs * sr)).astype(np.float32)
+            for _ in range(batch)]
+    texts = ["ni3 hao3 shi4 jie4 , zhe4 shi4 yi2 ge4 ce4 shi4 ."] * batch
+
+    import jax.random as jrandom
+
+    def run(seed):
+        outs = eng.synthesize_batch(texts, wavs, rng=jrandom.PRNGKey(seed),
+                                    force_full=True)
+        return sum(len(w) for w in outs) / sr
+
+    t0 = time.perf_counter()
+    audio_s = run(0)  # compile + first run
+    log(f"bench: warmup (compile) {time.perf_counter() - t0:.1f}s, "
+        f"audio={audio_s:.1f}s")
+
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        audio_s = run(i + 1)
+        times.append(time.perf_counter() - t0)
+        log(f"bench: run {i}: wall={times[-1]:.2f}s audio={audio_s:.1f}s "
+            f"rtf={audio_s / times[-1]:.2f}")
+
+    wall = min(times)
+    rtf = audio_s / wall
+    print(json.dumps({
+        "metric": "synthesis_rtf_batch8",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

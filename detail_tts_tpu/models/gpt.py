@@ -296,6 +296,9 @@ class SamplingConfig:
     top_p: float = 0.8
     repetition_penalty: float = 2.0
     max_generate_length: int = 600
+    # Benchmark mode: ignore stop tokens and always decode max_generate_length
+    # steps (fixed work per call, for throughput measurement).
+    force_full_length: bool = False
 
 
 def generate_speech_tokens(model: UnifiedVoice, params, rng, cond_mel,
@@ -344,7 +347,10 @@ def generate_speech_tokens(model: UnifiedVoice, params, rng, cond_mel,
         tok = jnp.where(finished, c.stop_mel_token, tok)
         codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
         seen = seen.at[jnp.arange(b), tok].set(True)
-        now_finished = finished | (tok == c.stop_mel_token)
+        if sampling.force_full_length:
+            now_finished = finished
+        else:
+            now_finished = finished | (tok == c.stop_mel_token)
         lengths = jnp.where(finished, lengths, lengths + 1)
         # mel positions: start token at 0, generated token i at i+1
         logits, cache = model.apply(params, tok, jnp.full((b,), step + 1),

@@ -1,0 +1,323 @@
+"""Serving engine: zero-shot synthesis pipelines, jit-compiled per bucket.
+
+Re-creates the reference inference surface (api.py + SynthesizerTrn.infer*
+at vqvae/model_24k.py:774-876) as four fused, statically-shaped stages:
+
+1. ``generate``   — AR mel-code decode with a real KV cache
+                    (the reference ships kv_cache=False -> O(T^2) recompute)
+2. ``latents``    — one full GPT pass over the generated codes
+                    (return_latent, gpt/model.py:479-481)
+3. ``diffuse``    — 50-step CFG ancestral sampling, cond+uncond batched into
+                    single 2B model calls (the reference does 2 sequential
+                    calls per step, utils/diffusion.py:313-315)
+4. ``vocode``     — flow-VAE prior sample -> reverse flow -> HiFi-GAN
+
+Recompilation control: prompt mels are *cropped down* to a bucket (style
+reference — exact math on the cropped prompt), text and code sequences are
+*padded up* to buckets (in-distribution: training pads both with stop
+tokens).  Each (bucket-combo) compiles once and is cached by jax.jit.
+
+Diffusion-free path ``synthesize_vq`` mirrors ``infer_gpt``
+(model_24k.py:811-846); ``vq_roundtrip`` mirrors ``infer_vqvae`` (:864).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detail_tts_tpu.audio.mel import (FRAMES_PER_CODE, MelFrontend,
+                                      denormalize_mel)
+from detail_tts_tpu.config import Config
+from detail_tts_tpu.models.diffusion import p_sample_loop
+from detail_tts_tpu.models.gpt import (SamplingConfig, UnifiedVoice,
+                                       generate_speech_tokens)
+from detail_tts_tpu.models.synthesizer import SynthesizerTrn, make_infer_schedule
+from detail_tts_tpu.text.pinyin import to_pinyin
+from detail_tts_tpu.text.tokenizer import CharTokenizer, VoiceBpeTokenizer
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Serving knobs (defaults = the reference's shipped settings)."""
+
+    temperature: float = 0.8          # model_24k.py:827
+    top_p: float = 0.8
+    repetition_penalty: float = 2.0
+    max_generate_length: int = 600
+    noise_scale: float = 0.667        # model_24k.py:858
+    diffusion_temperature: float = 1.0
+    # Bucketing (TPU addition: bounds the number of compiled programs)
+    text_buckets: Sequence[int] = (32, 64, 128, 256, 512, 800)
+    prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600)
+    code_buckets: Sequence[int] = (100, 200, 300, 400, 500, 600)
+    cache_dtype: Any = jnp.bfloat16
+
+
+def _bucket_up(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _bucket_down(n: int, buckets: Sequence[int]) -> int:
+    chosen = buckets[0]
+    for b in buckets:
+        if b <= n:
+            chosen = b
+    return chosen
+
+
+class TTSEngine:
+    """Stateless-weights serving engine around ``SynthesizerTrn``."""
+
+    def __init__(self, cfg: Config, variables: Dict[str, Any],
+                 engine_cfg: EngineConfig = EngineConfig(),
+                 tokenizer: Optional[Any] = None):
+        self.cfg = cfg
+        self.ecfg = engine_cfg
+        self.model = SynthesizerTrn(cfg)
+        self.variables = variables
+        self.frontend = MelFrontend(
+            cfg.data.sampling_rate, cfg.data.filter_length,
+            cfg.data.hop_length, cfg.data.win_length, cfg.data.n_mel_channels,
+            cfg.data.mel_fmin, cfg.data.mel_fmax)
+        self.schedule = make_infer_schedule(cfg)
+        if tokenizer is None:
+            try:
+                tokenizer = VoiceBpeTokenizer(cfg.data.tokenizer_vocab)
+            except Exception:
+                tokenizer = CharTokenizer()
+        self.tokenizer = tokenizer
+        self._gpt = self.model.cfg.gpt  # GPTConfig shortcut
+
+        # ------------------------- jitted stages (cached per input shape)
+        ecfg = engine_cfg
+        model = self.model
+        gpt_module = UnifiedVoice(cfg.gpt)
+
+        @functools.partial(jax.jit, static_argnames=("max_len", "force_full"))
+        def _generate(variables, cond_mel, cond_len, text, rng, max_len,
+                      force_full=False):
+            sampling = SamplingConfig(
+                temperature=ecfg.temperature, top_p=ecfg.top_p,
+                repetition_penalty=ecfg.repetition_penalty,
+                max_generate_length=max_len, force_full_length=force_full)
+            gpt_params = {"params": variables["params"]["gpt"]}
+            return generate_speech_tokens(
+                gpt_module, gpt_params, rng, cond_mel, cond_len, text,
+                sampling=sampling, cache_dtype=ecfg.cache_dtype)
+
+        @jax.jit
+        def _latents(variables, cond_mel, cond_len, text, codes, wav_len):
+            return model.apply(
+                variables, cond_mel, cond_len, text, None, codes, wav_len,
+                return_latent=True, deterministic=True,
+                method=lambda m, *a, **k: m.gpt(*a, **k))
+
+        @jax.jit
+        def _diffuse(variables, latents, refer_mel, rng):
+            """latents (B,Tc,768) + prompt mel -> denormalized mel (B,4Tc,128)."""
+            out_len = latents.shape[1] * FRAMES_PER_CODE
+            cond_latent = model.apply(
+                variables, refer_mel, method=SynthesizerTrn.diffusion_conditioning)
+            code_emb = model.apply(
+                variables, latents, cond_latent,
+                method=SynthesizerTrn.diffusion_code_embedding)
+            code_emb2 = jnp.concatenate([code_emb, code_emb], axis=0)
+
+            def model_fn(x, t_orig, conditioning_free):
+                if conditioning_free is None:
+                    conditioning_free = jnp.zeros((x.shape[0],), bool)
+                ce = code_emb2 if x.shape[0] == 2 * latents.shape[0] else code_emb
+                return model.apply(variables, x, t_orig, ce, conditioning_free,
+                                   method=SynthesizerTrn.diffusion_step)
+
+            n_rng, s_rng = jax.random.split(rng)
+            noise = jax.random.normal(
+                n_rng, (latents.shape[0], out_len, cfg.diffusion.in_channels),
+                jnp.float32) * ecfg.diffusion_temperature
+            mel_norm = p_sample_loop(
+                self.schedule, model_fn, noise, s_rng,
+                cond_free_k=cfg.diffusion.cond_free_k, conditioning_free=True)
+            return denormalize_mel(mel_norm)
+
+        @jax.jit
+        def _vocode(variables, mel, lengths, rng):
+            return model.apply(variables, mel, lengths, rng,
+                               noise_scale=ecfg.noise_scale,
+                               method=SynthesizerTrn.infer_flowvae)
+
+        @jax.jit
+        def _codes_to_mel(variables, codes, refer_mel, refer_len):
+            return model.apply(variables, codes, refer_mel, refer_len,
+                               method=SynthesizerTrn.decode_codes_to_mel)
+
+        @jax.jit
+        def _vq_roundtrip(variables, mel, rng):
+            return model.apply(variables, mel, rng,
+                               method=SynthesizerTrn.infer_vqvae)
+
+        self._generate = _generate
+        self._latents = _latents
+        self._diffuse = _diffuse
+        self._vocode = _vocode
+        self._codes_to_mel = _codes_to_mel
+        self._vq_roundtrip = _vq_roundtrip
+
+    # ------------------------------------------------------------- host prep
+
+    def prepare_text(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, np.ndarray]:
+        """pinyin -> BPE -> right-pad with stop(0) to a shared text bucket."""
+        cap = self.ecfg.text_buckets[-1] - 1
+        encoded = [self.tokenizer.encode(to_pinyin(t))[:cap] for t in texts]
+        lengths = np.array([len(e) for e in encoded], np.int32)
+        max_len = _bucket_up(int(lengths.max()) + 1, self.ecfg.text_buckets)
+        out = np.zeros((len(texts), max_len), np.int32)
+        for i, e in enumerate(encoded):
+            out[i, : len(e)] = e
+        return jnp.asarray(out), lengths
+
+    def prepare_prompt(self, wavs: Sequence[np.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """waveforms (24 kHz float) -> prompt mel cropped DOWN to one bucket.
+
+        Mel extraction runs on host CPU with wavs zero-padded to a 0.5 s grid
+        (bounds compile count; padded trailing frames are cropped away).
+        """
+        cpu = jax.local_devices(backend="cpu")[0]
+        chunk = self.cfg.data.sampling_rate // 2
+        mels = []
+        with jax.default_device(cpu):
+            for w in wavs:
+                w = np.asarray(w, np.float32)
+                n_true = w.shape[-1] // self.cfg.data.hop_length
+                pad = (-len(w)) % chunk
+                w = np.pad(w, (0, pad))
+                m = np.asarray(self.frontend.mel_spectrogram(jnp.asarray(w)[None])[0])
+                mels.append(m[:n_true])
+        n_frames = min(m.shape[0] for m in mels)
+        bucket = _bucket_down(n_frames, self.ecfg.prompt_buckets)
+        bucket = min(bucket, n_frames)
+        out = np.stack([m[:bucket] for m in mels])
+        lengths = np.full((len(wavs),), bucket, np.int32)
+        return jnp.asarray(out), jnp.asarray(lengths)
+
+    # ------------------------------------------------------------ pipelines
+
+    def generate_codes(self, refer_mel, refer_len, text, rng,
+                       force_full: bool = False,
+                       max_len: Optional[int] = None):
+        """AR decode; returns (codes (B,max_len), effective lengths (B,))."""
+        max_len = max_len or self.ecfg.max_generate_length
+        codes, lengths = self._generate(self.variables, refer_mel, refer_len,
+                                        text, rng, max_len, force_full)
+        # HF-parity: the reference always drops the final token
+        # (codes[:, :-1], model_24k.py:794)
+        eff = np.maximum(np.asarray(lengths) - 1, 1).astype(np.int32)
+        return codes, eff
+
+    def _pad_codes(self, codes, eff) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+        bucket = _bucket_up(int(eff.max()), self.ecfg.code_buckets)
+        c = np.asarray(codes)[:, :bucket].copy()
+        pos = np.arange(bucket)[None, :]
+        c = np.where(pos < eff[:, None], c, self._gpt.stop_mel_token)
+        wav_len = jnp.asarray(eff * self._gpt.mel_length_compression, jnp.int32)
+        return jnp.asarray(c, jnp.int32), wav_len, bucket
+
+    def synthesize_batch(self, texts: Sequence[str],
+                         prompt_wavs: Sequence[np.ndarray],
+                         rng: Optional[jax.Array] = None,
+                         force_full: bool = False) -> List[np.ndarray]:
+        """Full pipeline (reference ``infer``, model_24k.py:774-810)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        g_rng, d_rng, v_rng = jax.random.split(rng, 3)
+        text, _ = self.prepare_text(texts)
+        refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
+
+        codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
+                                         force_full=force_full)
+        codes_b, wav_len, bucket = self._pad_codes(codes, eff)
+
+        latents = self._latents(self.variables, refer_mel, refer_len, text,
+                                codes_b, wav_len)
+        mel = self._diffuse(self.variables, latents, refer_mel, d_rng)
+        mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
+        wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
+
+        wav = np.asarray(wav[..., 0])
+        hop_per_code = self._gpt.mel_length_compression
+        return [wav[i, : int(eff[i]) * hop_per_code] for i in range(len(texts))]
+
+    def synthesize(self, text: str, prompt_wav: np.ndarray,
+                   rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Single-utterance convenience (the api.py surface)."""
+        return self.synthesize_batch([text], [prompt_wav], rng)[0]
+
+    def synthesize_vq_batch(self, texts: Sequence[str],
+                            prompt_wavs: Sequence[np.ndarray],
+                            rng: Optional[jax.Array] = None,
+                            force_full: bool = False) -> List[np.ndarray]:
+        """Diffusion-free path (reference ``infer_gpt``, model_24k.py:811-846)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        g_rng, v_rng = jax.random.split(rng)
+        text, _ = self.prepare_text(texts)
+        refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
+
+        codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
+                                         force_full=force_full)
+        codes_b, _, _ = self._pad_codes(codes, eff)
+        # The GPT vocab has start/stop ids beyond the VQ codebook (8192/8193
+        # vs 8192 bins); they never index the codebook in the reference's
+        # exact-length batch-1 path — map them (and the stop padding) to 0.
+        codes_np = np.asarray(codes_b)
+        codes_b = jnp.asarray(
+            np.where(codes_np < self.cfg.vaegan.vq_bins, codes_np, 0))
+        mel = self._codes_to_mel(self.variables, codes_b, refer_mel, refer_len)
+        mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
+        wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
+
+        wav = np.asarray(wav[..., 0])
+        hop_per_code = self._gpt.mel_length_compression
+        return [wav[i, : int(eff[i]) * hop_per_code] for i in range(len(texts))]
+
+    def vq_roundtrip(self, mel: jnp.ndarray, rng: Optional[jax.Array] = None):
+        """mel -> codes -> mel -> wav (reference ``infer_vqvae``)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._vq_roundtrip(self.variables, mel, rng)
+
+    def warmup(self, batch_size: int = 1, text_bucket: Optional[int] = None,
+               prompt_bucket: Optional[int] = None,
+               code_bucket: Optional[int] = None) -> None:
+        """Pre-compile one bucket combination."""
+        tb = text_bucket or self.ecfg.text_buckets[0]
+        pb = prompt_bucket or self.ecfg.prompt_buckets[0]
+        cb = code_bucket or self.ecfg.code_buckets[0]
+        rng = jax.random.PRNGKey(0)
+        text = jnp.zeros((batch_size, tb), jnp.int32)
+        refer = jnp.full((batch_size, pb, self.cfg.data.n_mel_channels), -6.0)
+        refer_len = jnp.full((batch_size,), pb, jnp.int32)
+        codes, lengths = self._generate(self.variables, refer, refer_len, text,
+                                        rng, cb, True)
+        eff = np.full((batch_size,), cb, np.int32)
+        codes_b, wav_len, _ = self._pad_codes(codes, eff)
+        latents = self._latents(self.variables, refer, refer_len, text,
+                                codes_b, wav_len)
+        mel = self._diffuse(self.variables, latents, refer, rng)
+        self._vocode(self.variables, mel,
+                     jnp.asarray(eff * FRAMES_PER_CODE), rng)
+
+
+def random_engine(cfg: Optional[Config] = None, seed: int = 0,
+                  engine_cfg: EngineConfig = EngineConfig()) -> TTSEngine:
+    """Engine with freshly-initialised (untrained) weights — for tests/bench."""
+    from detail_tts_tpu.train.step import init_variables
+
+    cfg = cfg or Config()
+    model = SynthesizerTrn(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(seed))
+    return TTSEngine(cfg, variables, engine_cfg)

@@ -1,0 +1,212 @@
+"""Staged trainer: the reference ``Trainer`` (train.py:80-465), TPU-native.
+
+Drives the jitted step functions from ``train/step.py`` over a device mesh:
+
+* targets {vqvae, gpt, diff}: grad-accum scan step;
+* targets {flowvae, all}: two-phase GAN step;
+* Orbax checkpoints every ``save_freq`` with keep-N GC;
+* metrics to ``metrics.jsonl`` (+ TensorBoard when available);
+* eval wav dumps every ``val_freq`` (sample-*.wav / gt-*.wav beside the
+  checkpoints, like train.py:229-258);
+* under SPMD there are no barriers and no rank guards — every process runs
+  the same program, host 0 does the file IO.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detail_tts_tpu.config import Config
+from detail_tts_tpu.data.dataset import (BucketSpec, DataIterator,
+                                         JsonlTtsDataset)
+from detail_tts_tpu.models.synthesizer import SynthesizerTrn
+from detail_tts_tpu.parallel.mesh import (make_mesh, replicate_tree,
+                                          shard_batch, shard_tree)
+from detail_tts_tpu.text.tokenizer import CharTokenizer, VoiceBpeTokenizer
+from detail_tts_tpu.train import checkpoint as ckpt_lib
+from detail_tts_tpu.train.step import (GAN_TARGETS, make_train_state,
+                                       make_train_step, stack_microbatches)
+
+
+def _is_host0() -> bool:
+    return jax.process_index() == 0
+
+
+class MetricsLogger:
+    """jsonl + optional TensorBoard scalars."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # optional
+
+            self.tb = SummaryWriter(log_dir=logdir)
+        except Exception:
+            pass
+
+    def log(self, step: int, scalars: Dict[str, float]) -> None:
+        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        self._f.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
+    from scipy.io import wavfile
+
+    wavfile.write(path, sr, (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+
+
+class Trainer:
+    def __init__(self, cfg: Config | str, data_iter: Optional[Iterator] = None,
+                 logs_folder: Optional[str] = None, mesh=None, seed: int = 0,
+                 buckets: BucketSpec = BucketSpec()):
+        if isinstance(cfg, str):
+            cfg = Config.from_json(cfg)
+        self.cfg = cfg
+        self.target = cfg.train.target
+        self.logs_folder = logs_folder or os.path.join(
+            cfg.train.logs_folder, time.strftime("%Y-%m-%d-%H-%M-%S"))
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=cfg.mesh.data_parallel, model=cfg.mesh.model_parallel)
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        self._rng, init_rng = jax.random.split(jax.random.fold_in(rng, seed))
+        self.state, self.model, self.disc = make_train_state(cfg, init_rng)
+        self.state = self._shard_state(self.state)
+        self.step_fn = make_train_step(self.model, self.disc, cfg)
+        self.data_iter = data_iter
+        self.buckets = buckets
+        self.metrics = MetricsLogger(self.logs_folder) if _is_host0() else None
+        self._engine = None
+
+    # ------------------------------------------------------------- plumbing
+
+    def _shard_state(self, state):
+        return state.replace(
+            params=shard_tree(state.params, self.mesh),
+            opt_state=shard_tree(state.opt_state, self.mesh),
+            vq_state=replicate_tree(state.vq_state, self.mesh),
+            d_params=(None if state.d_params is None
+                      else replicate_tree(state.d_params, self.mesh)),
+            d_opt_state=(None if state.d_opt_state is None
+                         else replicate_tree(state.d_opt_state, self.mesh)),
+        )
+
+    def default_data(self, jsonl_path: str, num_threads: int = 8):
+        try:
+            tok = VoiceBpeTokenizer(self.cfg.data.tokenizer_vocab)
+        except Exception:
+            tok = CharTokenizer()
+        ds = JsonlTtsDataset(self.cfg, jsonl_path, tok)
+        accum = (self.cfg.train.gradient_accumulate_every
+                 if self.target not in GAN_TARGETS else 1)
+        self.data_iter = DataIterator(ds, self.cfg.train.batch_size,
+                                      accum=accum, buckets=self.buckets,
+                                      num_threads=num_threads)
+        return self
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save(self) -> None:
+        if _is_host0():
+            ckpt_lib.save_checkpoint(
+                os.path.join(self.logs_folder, "ckpt"), self.state,
+                int(self.state.step), keep=self.cfg.train.keep_ckpts)
+
+    def load(self, ckpt_dir: str, step: Optional[int] = None) -> "Trainer":
+        self.state = ckpt_lib.restore_checkpoint(ckpt_dir, self.state, step)
+        self.state = self._shard_state(self.state)
+        return self
+
+    # ----------------------------------------------------------------- eval
+
+    def _eval_dump(self, batch: Dict[str, np.ndarray]) -> None:
+        """sample-*.wav / gt-*.wav every val_freq (train.py:229-258)."""
+        if not _is_host0():
+            return
+        try:
+            step = int(self.state.step)
+            milestone = step // max(self.cfg.train.save_freq, 1)
+            sr = self.cfg.data.sampling_rate
+
+            def first(key):
+                v = np.asarray(jax.device_get(batch[key]))
+                if self.target not in GAN_TARGETS and v.ndim >= 2:
+                    v = v[0]  # drop the accumulation axis
+                return v[:1]
+
+            variables = {"params": self.state.params,
+                         "vq_state": self.state.vq_state}
+            rng = jax.random.PRNGKey(step)
+            if self.target == "vqvae":
+                _, wav = self.model.apply(
+                    variables, jnp.asarray(first("raw_mel")), rng,
+                    method=SynthesizerTrn.infer_vqvae)
+            else:
+                wav = self.model.apply(
+                    variables, jnp.asarray(first("raw_mel")),
+                    jnp.asarray(first("raw_spec_length")), rng,
+                    method=SynthesizerTrn.infer_flowvae)
+            save_wav(os.path.join(self.logs_folder, f"sample-{milestone}.wav"),
+                     np.asarray(wav)[0, :, 0], sr)
+            save_wav(os.path.join(self.logs_folder, f"gt-{milestone}.wav"),
+                     first("raw_wav").reshape(-1), sr)
+        except Exception as e:  # eval must never kill training
+            print(f"eval dump failed: {e}")
+
+    # ---------------------------------------------------------------- train
+
+    def train(self, max_steps: Optional[int] = None,
+              log_every: int = 10) -> Dict[str, float]:
+        assert self.data_iter is not None, "call default_data() or pass data_iter"
+        cfg = self.cfg
+        max_steps = max_steps or cfg.train.train_steps
+        last_metrics: Dict[str, float] = {}
+        t_last = time.perf_counter()
+
+        while int(self.state.step) < max_steps:
+            batch = next(self.data_iter)
+            if self.target in GAN_TARGETS and _leading(batch) == 1:
+                batch = {k: v[0] for k, v in batch.items()}  # no accum axis
+            batch = shard_batch(
+                batch, self.mesh,
+                batch_axis=0 if self.target in GAN_TARGETS else 1)
+            self._rng, key = jax.random.split(self._rng)
+            self.state, metrics = self.step_fn(self.state, batch, key)
+            step = int(self.state.step)
+
+            if step % log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                metrics["steps_per_sec"] = log_every / dt
+                last_metrics = metrics
+                if self.metrics:
+                    self.metrics.log(step, metrics)
+            if step % cfg.train.val_freq == 0:
+                self._eval_dump(batch)
+            if step % cfg.train.save_freq == 0:
+                self.save()
+        return last_metrics
+
+
+def _leading(batch) -> int:
+    return jax.tree_util.tree_leaves(batch)[0].shape[0]

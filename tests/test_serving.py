@@ -1,0 +1,65 @@
+"""End-to-end serving tests on the small config (virtual CPU mesh)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detail_tts_tpu.config import small_test_config
+from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
+
+
+def _small_engine():
+    cfg = small_test_config()
+    ecfg = EngineConfig(
+        max_generate_length=16,
+        text_buckets=(16,), prompt_buckets=(32,), code_buckets=(8, 16))
+    return random_engine(cfg, engine_cfg=ecfg)
+
+
+def test_synthesize_batch_shapes():
+    eng = _small_engine()
+    sr = eng.cfg.data.sampling_rate
+    rng = np.random.default_rng(0)
+    wavs = [rng.uniform(-0.3, 0.3, sr).astype(np.float32) for _ in range(2)]
+    outs = eng.synthesize_batch(["ni3 hao3", "shi4 jie4"], wavs,
+                                rng=jax.random.PRNGKey(0), force_full=True)
+    assert len(outs) == 2
+    hop_per_code = eng.cfg.gpt.mel_length_compression
+    for w in outs:
+        assert w.ndim == 1
+        assert w.shape[0] % hop_per_code == 0
+        assert np.all(np.isfinite(w))
+        assert np.max(np.abs(w)) <= 1.0  # tanh output
+    # force_full: every utterance decodes max_generate_length-1 effective codes
+    assert outs[0].shape[0] == 15 * hop_per_code
+
+
+def test_synthesize_vq_path():
+    eng = _small_engine()
+    sr = eng.cfg.data.sampling_rate
+    wav = np.random.default_rng(1).uniform(-0.3, 0.3, sr).astype(np.float32)
+    outs = eng.synthesize_vq_batch(["ce4 shi4"], [wav],
+                                   rng=jax.random.PRNGKey(1), force_full=True)
+    assert len(outs) == 1 and np.all(np.isfinite(outs[0]))
+
+
+def test_vq_roundtrip():
+    eng = _small_engine()
+    mel = jnp.full((1, 48, eng.cfg.data.n_mel_channels), -6.0)
+    recon, wav = eng.vq_roundtrip(mel)
+    assert recon.shape == mel.shape
+    assert wav.shape == (1, 48 * eng.cfg.data.hop_length, 1)
+
+
+def test_early_stop_lengths():
+    """Without force_full, per-sequence stop masking bounds lengths."""
+    eng = _small_engine()
+    sr = eng.cfg.data.sampling_rate
+    wav = np.random.default_rng(2).uniform(-0.3, 0.3, sr).astype(np.float32)
+    text, _ = eng.prepare_text(["a"])
+    refer_mel, refer_len = eng.prepare_prompt([wav])
+    codes, eff = eng.generate_codes(refer_mel, refer_len, text,
+                                    jax.random.PRNGKey(3))
+    assert codes.shape == (1, 16)
+    assert 1 <= int(eff[0]) <= 16

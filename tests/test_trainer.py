@@ -1,0 +1,104 @@
+"""Trainer + data pipeline + checkpoint round-trip on synthetic data."""
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from detail_tts_tpu.config import small_test_config
+from detail_tts_tpu.data.dataset import (BucketSpec, DataIterator,
+                                         JsonlTtsDataset, collate, read_wav)
+from detail_tts_tpu.text.tokenizer import CharTokenizer
+
+
+def _make_dataset(tmp_path, n=4, secs=1.2, sr=24000):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        path = str(tmp_path / f"{i}.wav")
+        wav = (rng.uniform(-0.3, 0.3, int(secs * sr)) * 32767).astype(np.int16)
+        wavfile.write(path, sr, wav)
+        rows.append({"path": path, "text": f"ce shi di {i} ju"})
+    jsonl = str(tmp_path / "data.jsonl")
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return jsonl
+
+
+def test_dataset_load_and_collate(tmp_path):
+    cfg = small_test_config()
+    jsonl = _make_dataset(tmp_path)
+    ds = JsonlTtsDataset(cfg, jsonl, CharTokenizer(), shard=False)
+    assert len(ds) == 4
+    s = ds.load(0)
+    assert s is not None
+    assert s["spec"].shape[0] % 4 == 0
+    assert s["spec"].shape == (s["mel"].shape[0], cfg.data.spec_channels)
+    assert s["wav"].shape[0] == s["spec"].shape[0] * cfg.data.hop_length
+
+    from detail_tts_tpu.data.dataset import _crop
+
+    buckets = BucketSpec(crop_frames=96, crop_threshold=100,
+                         raw_buckets=(128, 256), text_buckets=(32,))
+    rng = np.random.default_rng(0)
+    samples = [_crop(dict(s), buckets, rng, cfg.data.hop_length)
+               for _ in range(2)]
+    assert samples[0]["spec"].shape[0] == 96  # 112 > threshold -> cropped
+    batch = collate(samples, buckets, cfg.data.hop_length,
+                    cfg.data.spec_channels, cfg.data.n_mel_channels)
+    assert batch["raw_mel"].shape[1] in (128, 256)
+    assert batch["text"].shape[1] == 32
+    assert batch["raw_spec_length"][0] == s["spec"].shape[0]
+
+
+def test_data_iterator_shapes(tmp_path):
+    cfg = small_test_config()
+    jsonl = _make_dataset(tmp_path)
+    ds = JsonlTtsDataset(cfg, jsonl, CharTokenizer(), shard=False)
+    buckets = BucketSpec(crop_frames=96, crop_threshold=100,
+                         raw_buckets=(128,), text_buckets=(32,))
+    it = DataIterator(ds, micro_batch=2, accum=2, buckets=buckets,
+                      num_threads=2, prefetch=2)
+    batch = next(it)
+    it.close()
+    assert batch["mel"].shape[:2] == (2, 2)
+    assert batch["raw_mel"].shape == (2, 2, 128, cfg.data.n_mel_channels)
+    assert batch["text"].shape == (2, 2, 32)
+
+
+def test_trainer_steps_and_checkpoint(tmp_path):
+    cfg = small_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, target="vqvae",
+                                  gradient_accumulate_every=2, batch_size=2,
+                                  val_freq=2, save_freq=2))
+    jsonl = _make_dataset(tmp_path)
+    from detail_tts_tpu.train.trainer import Trainer
+
+    buckets = BucketSpec(crop_frames=96, crop_threshold=100,
+                         raw_buckets=(128,), text_buckets=(32,))
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs"), buckets=buckets,
+                 mesh=None)
+    tr.default_data(jsonl, num_threads=2)
+    metrics = tr.train(max_steps=2, log_every=1)
+    tr.data_iter.close()
+    assert np.isfinite(metrics["loss"])
+    assert int(tr.state.step) == 2
+    # eval wav + checkpoint written
+    assert os.path.exists(str(tmp_path / "logs" / "sample-1.wav"))
+    ckpt_dir = str(tmp_path / "logs" / "ckpt")
+    assert os.path.isdir(ckpt_dir)
+
+    # restore into a fresh trainer
+    tr2 = Trainer(cfg, logs_folder=str(tmp_path / "logs2"), buckets=buckets)
+    tr2.load(ckpt_dir)
+    assert int(tr2.state.step) == 2
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
