@@ -52,7 +52,7 @@ def main():
     )
 
     t0 = time.perf_counter()
-    eng = random_engine(cfg, engine_cfg=ecfg)
+    eng = random_engine(cfg, engine_cfg=ecfg, fast=True)
     log(f"bench: init {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)

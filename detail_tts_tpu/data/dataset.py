@@ -34,7 +34,17 @@ from detail_tts_tpu.text.pinyin import to_pinyin
 
 
 def read_wav(path: str, target_sr: int) -> Optional[np.ndarray]:
-    """Load mono float32 at ``target_sr``.  soundfile if present, else scipy."""
+    """Load mono float32 at ``target_sr``.
+
+    Fast path: the native C++ decoder (WAV parse + polyphase resample,
+    GIL-free — see native/).  Fallbacks: soundfile, then scipy.
+    """
+    if path.lower().endswith(".wav"):
+        from detail_tts_tpu.native import load_wav_native
+
+        wav = load_wav_native(path, target_sr)
+        if wav is not None:
+            return wav
     try:
         import soundfile as sf  # optional
 

@@ -1,0 +1,216 @@
+"""Offline data preparation: VAD -> clips -> ASR -> jsonl -> VQ codes.
+
+Equivalent of the reference prepare/ pipeline
+(0_vad_asr_save_to_jsonl.py + vad_process.py + asr_process.py +
+5_save_vq_to_disk.py / extract_vq.py):
+
+* Phase 1 (VAD): split on silence (-40 dBFS, 500 ms), keep 0.7-30 s clips,
+  resample to 24 kHz, write wavs.  The reference used pydub's
+  ``split_on_silence``; this is a numpy re-implementation of the same
+  algorithm (windowed dBFS threshold, keep_silence padding).
+* Phase 2 (ASR): transcribe clips and append ``{"text", "path"}`` rows to a
+  jsonl.  The reference hard-codes a modelscope Paraformer-zh model; here the
+  recognizer is a pluggable callable (wav, sr) -> str so any ASR engine (or
+  pre-existing transcripts) can be used.  Latin-containing or too-short
+  texts are dropped, as in asr_process.py:14-46.
+* Phase 3 (VQ extraction): batch-encode mels to VQ codes with the jitted
+  encoder and save ``.vq.npy`` beside each wav (extract_vq.py:18-46 used
+  .pth files).
+
+All phases stream via multiprocessing/thread pools like the reference's
+spawn Pools (0_vad_asr:26-34).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from detail_tts_tpu.data.dataset import read_wav
+
+Recognizer = Callable[[np.ndarray, int], str]
+
+_LATIN_RE = re.compile(r"[A-Za-z]")
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: VAD
+# ---------------------------------------------------------------------------
+
+
+def _dbfs(wav: np.ndarray, frame: int) -> np.ndarray:
+    """Per-frame dBFS of a float waveform (pydub semantics, RMS-based)."""
+    n = len(wav) // frame
+    frames = wav[: n * frame].reshape(n, frame)
+    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    return 20.0 * np.log10(np.maximum(rms, 1e-10))
+
+
+def split_on_silence(wav: np.ndarray, sr: int, min_silence_ms: int = 500,
+                     silence_thresh_db: float = -40.0,
+                     keep_silence_ms: int = 100) -> List[np.ndarray]:
+    """pydub ``split_on_silence`` equivalent on a float waveform."""
+    frame = max(sr // 100, 1)  # 10 ms analysis frames
+    db = _dbfs(wav, frame)
+    silent = db < silence_thresh_db
+    min_frames = max(min_silence_ms // 10, 1)
+    keep = int(keep_silence_ms / 1000 * sr)
+
+    # find silent runs >= min_frames
+    chunks: List[Tuple[int, int]] = []
+    start = 0
+    run_start = None
+    for i, s in enumerate(np.append(silent, False)):
+        if s and run_start is None:
+            run_start = i
+        elif not s and run_start is not None:
+            if i - run_start >= min_frames:
+                if run_start * frame > start:
+                    chunks.append((start, run_start * frame))
+                start = i * frame
+            run_start = None
+    if len(wav) > start and not np.all(silent[start // frame:]):
+        chunks.append((start, len(wav)))
+
+    out = []
+    for a, b in chunks:
+        a = max(0, a - keep)
+        b = min(len(wav), b + keep)
+        out.append(wav[a:b])
+    return out
+
+
+def vad_file(path: str, out_dir: str, sr: int = 24000,
+             min_secs: float = 0.7, max_secs: float = 30.0,
+             silence_thresh_db: float = -40.0,
+             min_silence_ms: int = 500) -> List[str]:
+    """Split one file into clips; returns written paths (vad_process.py:6-30)."""
+    from scipy.io import wavfile
+
+    wav = read_wav(path, sr)
+    base = os.path.splitext(os.path.basename(path))[0]
+    written = []
+    for i, clip in enumerate(split_on_silence(wav, sr, min_silence_ms,
+                                              silence_thresh_db)):
+        if not (min_secs <= len(clip) / sr <= max_secs):
+            continue
+        out = os.path.join(out_dir, f"{base}_{i:04d}.wav")
+        wavfile.write(out, sr, (np.clip(clip, -1, 1) * 32767).astype(np.int16))
+        written.append(out)
+    return written
+
+
+def vad_directory(in_paths: Sequence[str], out_dir: str, sr: int = 24000,
+                  workers: int = 12, **kwargs) -> List[str]:
+    """Phase 1 over many files with a process pool (0_vad_asr:26-30)."""
+    os.makedirs(out_dir, exist_ok=True)
+    written: List[str] = []
+    if workers <= 1:
+        for p in in_paths:
+            written.extend(vad_file(p, out_dir, sr, **kwargs))
+        return written
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        for res in pool.map(_vad_one, [(p, out_dir, sr, kwargs)
+                                       for p in in_paths]):
+            written.extend(res)
+    return written
+
+
+def _vad_one(args):
+    path, out_dir, sr, kwargs = args
+    try:
+        return vad_file(path, out_dir, sr, **kwargs)
+    except Exception as e:  # bad files are skipped, like the reference
+        print(f"vad failed for {path}: {e}")
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: ASR -> jsonl
+# ---------------------------------------------------------------------------
+
+
+def asr_to_jsonl(clip_paths: Sequence[str], jsonl_path: str,
+                 recognizer: Recognizer, sr: int = 24000,
+                 min_chars: int = 2, drop_latin: bool = True,
+                 workers: int = 4) -> int:
+    """Transcribe clips and append jsonl rows (asr_process.py:14-46).
+
+    Returns the number of rows written.  Exceptions per clip are swallowed
+    (the reference does the same).
+    """
+
+    def work(path):
+        try:
+            wav = read_wav(path, sr)
+            text = recognizer(wav, sr).strip()
+            if len(text) < min_chars:
+                return None
+            if drop_latin and _LATIN_RE.search(text):
+                return None
+            return {"text": text, "path": path}
+        except Exception as e:
+            print(f"asr failed for {path}: {e}")
+            return None
+
+    n = 0
+    with ThreadPoolExecutor(max_workers=workers) as pool, \
+            open(jsonl_path, "a") as f:
+        for row in pool.map(work, clip_paths):
+            if row is not None:
+                f.write(json.dumps(row, ensure_ascii=False) + "\n")
+                n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: offline VQ-code extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_vq(jsonl_path: str, cfg, variables, batch_frames: int = 4096,
+               suffix: str = ".vq.npy") -> int:
+    """Encode every jsonl row's mel to VQ codes; save codes beside the wav.
+
+    Uses the jitted frozen encoder (SynthesizerTrn.encode — the
+    prepare/extract_vq.py:18-46 equivalent).  Returns files written.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from detail_tts_tpu.audio.mel import MelFrontend
+    from detail_tts_tpu.models.synthesizer import SynthesizerTrn
+
+    model = SynthesizerTrn(cfg)
+    frontend = MelFrontend(cfg.data.sampling_rate, cfg.data.filter_length,
+                           cfg.data.hop_length, cfg.data.win_length,
+                           cfg.data.n_mel_channels, cfg.data.mel_fmin,
+                           cfg.data.mel_fmax)
+
+    @jax.jit
+    def encode(mel):
+        codes, _ = model.apply(variables, mel, method=SynthesizerTrn.encode)
+        return codes
+
+    n = 0
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            wav = read_wav(row["path"], cfg.data.sampling_rate)
+            n_frames = len(wav) // cfg.data.hop_length // 4 * 4
+            if n_frames < 4:
+                continue
+            pad = (-n_frames) % 4
+            mel = frontend.mel_spectrogram(jnp.asarray(wav)[None])
+            mel = mel[:, : n_frames]
+            codes = np.asarray(encode(mel))[0]
+            np.save(row["path"] + suffix, codes.astype(np.int32))
+            n += 1
+    return n

@@ -116,6 +116,18 @@ class DiffusionTts(nn.Module):
     def code_pred(self, expanded_code_emb: jax.Array) -> jax.Array:
         return self.mel_head(expanded_code_emb)
 
+    def attention_biases(self, length: int):
+        """Per-block T5 biases for sequence ``length`` (H, L, L each).
+
+        Order: conditioning_timestep_integrator blocks, then trunk
+        DiffusionLayers.  These are timestep-independent — precompute once
+        per sampling call and pass via ``precomputed_biases`` so they are
+        hoisted out of the 50-step sampling scan.
+        """
+        blocks = list(self.conditioning_timestep_integrator) + [
+            lyr for lyr in self.layers if isinstance(lyr, DiffusionLayer)]
+        return [blk.attn.bias_values(length) for blk in blocks]
+
     # --------------------------------------------------------------- forward
 
     def __call__(self, x: jax.Array, timesteps: jax.Array,
@@ -124,7 +136,8 @@ class DiffusionTts(nn.Module):
                  conditioning_latent: Optional[jax.Array] = None,
                  conditioning_free: Optional[jax.Array] = None,
                  layer_drop_rng: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 precomputed_biases: Optional[list] = None) -> jax.Array:
         """x: noisy mel (B, T, in_channels); timesteps: (B,).
 
         conditioning_free: optional (B,) bool switch selecting the learned
@@ -144,19 +157,30 @@ class DiffusionTts(nn.Module):
                 self.unconditioned_embedding.astype(code_emb.dtype), code_emb.shape)
             code_emb = jnp.where(conditioning_free[:, None, None], uncond, code_emb)
 
-        temb = timestep_embedding(timesteps, c.model_channels)
+        # sinusoid in fp32, then drop to the activation dtype so a bf16
+        # x keeps the whole trunk in bf16 (no silent fp32 promotion)
+        temb = timestep_embedding(timesteps, c.model_channels).astype(x.dtype)
         temb = self.time_embed_1(jax.nn.silu(self.time_embed_0(temb)))
+        code_emb = code_emb.astype(x.dtype)
 
-        for blk in self.conditioning_timestep_integrator:
-            code_emb = blk(code_emb, temb, deterministic=deterministic)
+        biases = precomputed_biases or [None] * (
+            len(self.conditioning_timestep_integrator) + self.cfg.num_layers)
+        for j, blk in enumerate(self.conditioning_timestep_integrator):
+            code_emb = blk(code_emb, temb, deterministic=deterministic,
+                           attn_bias=biases[j])
 
         h = self.inp_block(x)
         h = jnp.concatenate([h, code_emb], axis=-1)
         h = self.integrating_conv(h)
 
+        n_int = len(self.conditioning_timestep_integrator)
         n_layers = len(self.layers)
         for i, lyr in enumerate(self.layers):
-            y = lyr(h, temb, deterministic=deterministic)
+            if isinstance(lyr, DiffusionLayer):
+                y = lyr(h, temb, deterministic=deterministic,
+                        attn_bias=biases[n_int + i])
+            else:
+                y = lyr(h, temb, deterministic=deterministic)
             if (not deterministic and c.layer_drop > 0 and 0 < i < n_layers - 1
                     and layer_drop_rng is not None):
                 keep = jax.random.bernoulli(

@@ -296,6 +296,8 @@ class SamplingConfig:
     top_p: float = 0.8
     repetition_penalty: float = 2.0
     max_generate_length: int = 600
+    # entropy-typical filtering, off by default (reference typical_sampling)
+    typical_mass: float = 1.0
     # Benchmark mode: ignore stop tokens and always decode max_generate_length
     # steps (fixed work per call, for throughput measurement).
     force_full_length: bool = False
@@ -343,7 +345,8 @@ def generate_speech_tokens(model: UnifiedVoice, params, rng, cond_mel,
         tok = sample_token(key, logits, seen_mask=seen,
                            temperature=sampling.temperature,
                            top_p=sampling.top_p,
-                           repetition_penalty=sampling.repetition_penalty)
+                           repetition_penalty=sampling.repetition_penalty,
+                           typical_mass=sampling.typical_mass)
         tok = jnp.where(finished, c.stop_mel_token, tok)
         codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
         seen = seen.at[jnp.arange(b), tok].set(True)

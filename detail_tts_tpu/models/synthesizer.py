@@ -234,7 +234,7 @@ class SynthesizerTrn(nn.Module):
         g = self.ref_enc(mel * y_mask, y_mask[..., 0])
         x = self.in_proj(mel)
         _, m_p, logs_p = self.enc_p(x, lengths)
-        eps = jax.random.normal(rng, m_p.shape, jnp.float32)
+        eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
         z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
         z = self.flow(z_p, y_mask, g=g, reverse=True)
         return self.dec(z, g=g)
@@ -269,12 +269,19 @@ class SynthesizerTrn(nn.Module):
 
     def diffusion_step(self, x: jax.Array, t_orig: jax.Array,
                        code_emb: jax.Array,
-                       conditioning_free: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                       conditioning_free: jax.Array,
+                       attn_biases: Optional[list] = None
+                       ) -> Tuple[jax.Array, jax.Array]:
         """One (possibly 2B-batched CFG) diffusion net call."""
         out = self.diffusion(x, t_orig, precomputed_embeddings=code_emb,
-                             conditioning_free=conditioning_free)
+                             conditioning_free=conditioning_free,
+                             precomputed_biases=attn_biases)
         eps, var = jnp.split(out, 2, axis=-1)
         return eps, var
+
+    def diffusion_attention_biases(self, length: int) -> list:
+        """T5 rel-pos biases for all diffusion attention blocks (hoistable)."""
+        return self.diffusion.attention_biases(length)
 
     # ----------------------------------------------------------------- init
 

@@ -21,9 +21,13 @@ LRELU_SLOPE = 0.1  # vqvae/modules/modules.py:13
 
 
 def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
-    """(B,) lengths -> (B, T) float32 {0,1} mask (commons.py:144)."""
+    """(B,) lengths -> (B, T) bool mask (commons.py:144).
+
+    Bool (not fp32) so ``x * mask`` follows the activation dtype — a fp32
+    mask would silently promote a bf16 chain back to fp32.
+    """
     pos = jnp.arange(max_length, dtype=lengths.dtype)
-    return (pos[None, :] < lengths[:, None]).astype(jnp.float32)
+    return pos[None, :] < lengths[:, None]
 
 
 def mish(x: jax.Array) -> jax.Array:
@@ -111,13 +115,18 @@ class ConvTranspose1d(nn.Module):
 
 
 class TorchLayerNorm(nn.Module):
-    """LayerNorm over the channel (last) dim, eps=1e-5 (torch default)."""
+    """LayerNorm over the channel (last) dim, eps=1e-5 (torch default).
+
+    Statistics compute in fp32 (precision island); output returns to the
+    input dtype so a bf16 activation chain stays bf16.
+    """
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(x)
+        return y.astype(x.dtype)
 
 
 def group_norm_groups(channels: int) -> int:

@@ -57,37 +57,73 @@ class T5RelativePositionBias(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """diff_util.AttentionBlock (diff_util.py:172-215)."""
+    """diff_util.AttentionBlock (diff_util.py:172-215).
+
+    Two execution paths with identical math:
+    * XLA (default off-TPU): materialized logits + softmax;
+    * Pallas row-block kernel (TPU): logits stay in VMEM; the T5 bias may be
+      precomputed once per sampling call and passed as ``bias`` (H, T, T) —
+      critical for hoisting it out of the diffusion sampling scan.
+    """
 
     channels: int
     num_heads: int = 1
     relative_pos_embeddings: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    def setup(self):
+        self.norm = GroupNorm32(self.channels, name="norm")
+        self.qkv = Conv1d(3 * self.channels, 1, name="qkv")
+        self.proj_out = Conv1d(self.channels, 1,
+                               kernel_init=nn.initializers.zeros,
+                               name="proj_out")
+        if self.relative_pos_embeddings:
+            ch = self.channels // self.num_heads
+            self.rel_pos = T5RelativePositionBias(
+                scale=ch ** 0.5, heads=self.num_heads, num_buckets=32,
+                max_distance=64, name="rel_pos")
+
+    def bias_values(self, length: int) -> jax.Array:
+        """Pre-scaled additive bias (H, L, L) — t-independent, hoistable."""
+        return self.rel_pos(length)[0]
+
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
+                 bias: Optional[jax.Array] = None,
+                 use_pallas: Optional[bool] = None) -> jax.Array:
         """x: (B, T, C). mask: optional (B, T) multiplicative post-softmax
         mask (the reference multiplies after softmax, diff_util.py:163-166)."""
         b, t, c = x.shape
         h = self.num_heads
         ch = c // h
-        y = GroupNorm32(self.channels, name="norm")(x)
-        qkv = Conv1d(3 * c, 1, name="qkv")(y)  # (B, T, 3C), layout [q|k|v] per head
-        # Reference packs per-head contiguous [q,k,v]: reshape (B*H, 3ch, T)
+        y = self.norm(x)
+        qkv = self.qkv(y)  # (B, T, 3C), layout [q|k|v] per head
         qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)  # (B,H,T,3ch)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        scale = 1.0 / math.sqrt(math.sqrt(ch))
-        logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
-        if self.relative_pos_embeddings:
-            logits = logits + T5RelativePositionBias(
-                scale=ch ** 0.5, heads=self.num_heads, num_buckets=32,
-                max_distance=64, name="rel_pos")(t)
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        if mask is not None:
-            w = w * mask[:, None, None, :]
-        a = jnp.einsum("bhts,bhsd->bhtd", w, v)
+
+        precomputed = bias is not None
+        if bias is None and self.relative_pos_embeddings:
+            bias = self.bias_values(t)
+
+        if use_pallas is None:
+            # kernel is forward-only (no VJP): use it only on the inference
+            # path, which is exactly when the bias arrives precomputed
+            use_pallas = (jax.default_backend() == "tpu" and mask is None
+                          and precomputed)
+        if use_pallas:
+            from detail_tts_tpu.ops.pallas.attention import attention
+
+            a = attention(q, k, v, bias.astype(q.dtype),
+                          sm_scale=1.0 / math.sqrt(ch))
+        else:
+            scale = 1.0 / math.sqrt(math.sqrt(ch))
+            logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
+            if bias is not None:
+                logits = logits + bias[None]
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            if mask is not None:
+                w = w * mask[:, None, None, :]
+            a = jnp.einsum("bhts,bhsd->bhtd", w, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
-        proj = Conv1d(c, 1, kernel_init=nn.initializers.zeros, name="proj_out")(a)
-        return x + proj
+        return x + self.proj_out(a)
 
 
 class DiffResBlock(nn.Module):
@@ -138,14 +174,18 @@ class DiffusionLayer(nn.Module):
     dropout: float
     num_heads: int
 
-    @nn.compact
+    def setup(self):
+        self.resblk = DiffResBlock(
+            self.model_channels, self.model_channels, self.dropout,
+            self.model_channels, use_scale_shift_norm=True, name="resblk")
+        self.attn = AttentionBlock(self.model_channels, self.num_heads,
+                                   relative_pos_embeddings=True, name="attn")
+
     def __call__(self, x: jax.Array, time_emb: jax.Array,
-                 deterministic: bool = True) -> jax.Array:
-        y = DiffResBlock(self.model_channels, self.model_channels, self.dropout,
-                         self.model_channels, use_scale_shift_norm=True,
-                         name="resblk")(x, time_emb, deterministic=deterministic)
-        return AttentionBlock(self.model_channels, self.num_heads,
-                              relative_pos_embeddings=True, name="attn")(y)
+                 deterministic: bool = True,
+                 attn_bias: Optional[jax.Array] = None) -> jax.Array:
+        y = self.resblk(x, time_emb, deterministic=deterministic)
+        return self.attn(y, bias=attn_bias)
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,

@@ -99,4 +99,4 @@ class MelStyleEncoder(nn.Module):
         if mask is None:
             return jnp.mean(x, axis=1)
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
-        return jnp.sum(x * mask[..., None], axis=1) / denom
+        return jnp.sum(x * mask[..., None], axis=1) / denom.astype(x.dtype)

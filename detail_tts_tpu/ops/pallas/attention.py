@@ -1,0 +1,114 @@
+"""Pallas TPU attention kernel for the diffusion refiner.
+
+The reference diffusion attention (diff_util.py:136-215) materializes the
+full (B*H, T, T) logits in HBM, plus a T5 relative-position bias gathered to
+(T, T, H) per call (xtransformers.py:146-186).  At serving shapes
+(2B=16, H=16, T~1600, 50 steps x 13 blocks) that is ~10 TB of HBM traffic —
+the dominant cost of the whole TTS pipeline.
+
+This kernel keeps each (BQ, T) logits row-block in VMEM: one pass computes
+qk^T + bias, a numerically-safe softmax, and the value contraction without
+ever writing logits to HBM.  The bias is precomputed once per *sampling
+call* as (H, T, T) — it is shared across the batch and across all 50
+diffusion steps — and the grid is ordered (h, q_block, batch) so the bias
+tile is fetched once and revisited for every batch element.
+
+Padded key columns are masked by writing -1e9 into the padded bias columns
+(host-side, in :func:`pad_bias`), so the kernel itself is mask-free.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)       # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)       # (T, D)
+    v = v_ref[0, 0]                            # (T, D)
+    bias = bias_ref[0].astype(jnp.float32)     # (BQ, T)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale + bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (out / l).astype(o_ref.dtype)
+
+
+def pad_bias(bias: jax.Array, t_real: int, t_pad: int) -> jax.Array:
+    """(H, T, T) -> (H, Tp, Tp) with -1e9 in padded key columns."""
+    h = bias.shape[0]
+    out = jnp.full((h, t_pad, t_pad), -1e9, bias.dtype)
+    return jax.lax.dynamic_update_slice(out, bias, (0, 0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "interpret"))
+def row_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                        bias: jax.Array, *, sm_scale: float,
+                        block_q: int = 128,
+                        interpret: bool = False) -> jax.Array:
+    """Attention with an additive per-head bias shared over the batch.
+
+    q, k, v: (B, H, T, D); bias: (H, T, T) (already scaled; padded key
+    columns, if any, must carry -1e9).  Returns (B, H, T, D) in q's dtype.
+
+    T and D must satisfy the wrapper's padding (use :func:`attention` for
+    arbitrary shapes).
+    """
+    b, h, t, d = q.shape
+    assert t % block_q == 0 and d % LANE in (0, 64), (t, d)
+    n_q = t // block_q
+
+    grid = (h, n_q, b)  # batch innermost: bias tile revisited, not re-fetched
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, iq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, iq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, block_q, t), lambda hh, iq, bb: (hh, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda hh, iq, bb: (bb, hh, iq, 0)),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
+              *, sm_scale: float, block_q: int = 128,
+              interpret: bool = False) -> jax.Array:
+    """Shape-safe wrapper: pads T to a block multiple and D to 64/128.
+
+    q, k, v: (B, H, T, D); bias: (H, T, T) pre-scaled.  Padded key columns
+    are masked via the bias; padded query rows are sliced away.
+    """
+    b, h, t, d = q.shape
+    t_pad = _round_up(t, block_q)
+    d_pad = 64 if d <= 64 else _round_up(d, LANE)
+
+    def pad_qkv(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)))
+
+    bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
+    out = row_block_attention(pad_qkv(q), pad_qkv(k), pad_qkv(v), bias_p,
+                              sm_scale=sm_scale, block_q=block_q,
+                              interpret=interpret)
+    return out[:, :, :t, :d]

@@ -51,12 +51,32 @@ def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(logits <= threshold, -jnp.inf, logits)
 
 
+def apply_typical(logits: jax.Array, mass: float = 0.9) -> jax.Array:
+    """Entropy-typical filtering (gpt/modules/typical_sampling.py:1-33,
+    opt-in in the reference via ``typical_sampling=True``)."""
+    if mass >= 1.0:
+        return logits
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    p = jnp.exp(logp)
+    entropy = -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-logp - entropy)
+    order = jnp.argsort(shifted, axis=-1)  # ascending: most typical first
+    p_sorted = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    last_ind = jnp.sum((cum < mass).astype(jnp.int32), axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(jnp.sort(shifted, axis=-1), last_ind, axis=-1)
+    remove = shifted > thresh
+    return jnp.where(remove, -jnp.inf, logits)
+
+
 def sample_token(rng: jax.Array, logits: jax.Array, *, seen_mask: jax.Array,
                  temperature: float = 0.8, top_p: float = 0.8,
-                 repetition_penalty: float = 2.0) -> jax.Array:
+                 repetition_penalty: float = 2.0,
+                 typical_mass: float = 1.0) -> jax.Array:
     """One decode-step sample, (B, V) -> (B,) int32."""
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
     logits = apply_temperature(logits, temperature)
+    logits = apply_typical(logits, typical_mass)
     logits = apply_top_p(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)

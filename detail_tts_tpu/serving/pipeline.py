@@ -56,6 +56,9 @@ class EngineConfig:
     prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600)
     code_buckets: Sequence[int] = (100, 200, 300, 400, 500, 600)
     cache_dtype: Any = jnp.bfloat16
+    # bf16 weights/activations with fp32 islands (norms/softmax/sampler math);
+    # None keeps fp32 end to end.
+    compute_dtype: Any = jnp.bfloat16
 
 
 def _bucket_up(n: int, buckets: Sequence[int]) -> int:
@@ -82,7 +85,18 @@ class TTSEngine:
         self.cfg = cfg
         self.ecfg = engine_cfg
         self.model = SynthesizerTrn(cfg)
+        cdt = engine_cfg.compute_dtype
+        if cdt is not None:
+            # bf16 weights halve the HBM weight traffic of the AR decode and
+            # put the diffusion/vocoder matmuls on the fast MXU path; the VQ
+            # codebook (vq_state) stays fp32 for distance math.
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(cdt)
+                if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+                variables["params"])
+            variables = dict(variables, params=params)
         self.variables = variables
+        self._cdt = cdt or jnp.float32
         self.frontend = MelFrontend(
             cfg.data.sampling_rate, cfg.data.filter_length,
             cfg.data.hop_length, cfg.data.win_length, cfg.data.n_mel_channels,
@@ -100,10 +114,12 @@ class TTSEngine:
         ecfg = engine_cfg
         model = self.model
         gpt_module = UnifiedVoice(cfg.gpt)
+        cdt_c = self._cdt
 
         @functools.partial(jax.jit, static_argnames=("max_len", "force_full"))
         def _generate(variables, cond_mel, cond_len, text, rng, max_len,
                       force_full=False):
+            cond_mel = cond_mel.astype(cdt_c)
             sampling = SamplingConfig(
                 temperature=ecfg.temperature, top_p=ecfg.top_p,
                 repetition_penalty=ecfg.repetition_penalty,
@@ -116,8 +132,8 @@ class TTSEngine:
         @jax.jit
         def _latents(variables, cond_mel, cond_len, text, codes, wav_len):
             return model.apply(
-                variables, cond_mel, cond_len, text, None, codes, wav_len,
-                return_latent=True, deterministic=True,
+                variables, cond_mel.astype(cdt_c), cond_len, text, None,
+                codes, wav_len, return_latent=True, deterministic=True,
                 method=lambda m, *a, **k: m.gpt(*a, **k))
 
         @jax.jit
@@ -125,17 +141,25 @@ class TTSEngine:
             """latents (B,Tc,768) + prompt mel -> denormalized mel (B,4Tc,128)."""
             out_len = latents.shape[1] * FRAMES_PER_CODE
             cond_latent = model.apply(
-                variables, refer_mel, method=SynthesizerTrn.diffusion_conditioning)
+                variables, refer_mel.astype(cdt_c),
+                method=SynthesizerTrn.diffusion_conditioning)
             code_emb = model.apply(
-                variables, latents, cond_latent,
+                variables, latents.astype(cdt_c), cond_latent,
                 method=SynthesizerTrn.diffusion_code_embedding)
             code_emb2 = jnp.concatenate([code_emb, code_emb], axis=0)
+            # T5 biases are timestep-independent: compute ONCE here so the
+            # 50-step scan reuses them (and the TPU pallas attention kernel
+            # engages on the precomputed-bias path).
+            biases = model.apply(variables, out_len,
+                                 method=SynthesizerTrn.diffusion_attention_biases)
+            biases = [b.astype(cdt_c) for b in biases]
 
             def model_fn(x, t_orig, conditioning_free):
                 if conditioning_free is None:
                     conditioning_free = jnp.zeros((x.shape[0],), bool)
                 ce = code_emb2 if x.shape[0] == 2 * latents.shape[0] else code_emb
-                return model.apply(variables, x, t_orig, ce, conditioning_free,
+                return model.apply(variables, x.astype(cdt_c), t_orig, ce,
+                                   conditioning_free, biases,
                                    method=SynthesizerTrn.diffusion_step)
 
             n_rng, s_rng = jax.random.split(rng)
@@ -149,14 +173,16 @@ class TTSEngine:
 
         @jax.jit
         def _vocode(variables, mel, lengths, rng):
-            return model.apply(variables, mel, lengths, rng,
-                               noise_scale=ecfg.noise_scale,
-                               method=SynthesizerTrn.infer_flowvae)
+            wav = model.apply(variables, mel.astype(cdt_c), lengths, rng,
+                              noise_scale=ecfg.noise_scale,
+                              method=SynthesizerTrn.infer_flowvae)
+            return wav.astype(jnp.float32)
 
         @jax.jit
         def _codes_to_mel(variables, codes, refer_mel, refer_len):
-            return model.apply(variables, codes, refer_mel, refer_len,
-                               method=SynthesizerTrn.decode_codes_to_mel)
+            mel = model.apply(variables, codes, refer_mel.astype(cdt_c),
+                              refer_len, method=SynthesizerTrn.decode_codes_to_mel)
+            return mel.astype(jnp.float32)
 
         @jax.jit
         def _vq_roundtrip(variables, mel, rng):
@@ -312,12 +338,59 @@ class TTSEngine:
                      jnp.asarray(eff * FRAMES_PER_CODE), rng)
 
 
+def variables_template(cfg: Config) -> Any:
+    """Abstract {'params','vq_state'} structure via eval_shape (no compute)."""
+    from detail_tts_tpu.models.synthesizer import make_train_schedule
+    from detail_tts_tpu.train.step import dummy_batch
+
+    model = SynthesizerTrn(cfg)
+    batch = dummy_batch(cfg, batch_size=1, mel_frames=48)
+    schedule = make_train_schedule(cfg)
+
+    def init_fn(rng):
+        return model.init({"params": rng, "dropout": rng, "vq": rng},
+                          batch, schedule, rng,
+                          method=SynthesizerTrn.init_all)
+
+    return jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+
+
+def fast_random_variables(cfg: Config, seed: int = 0, scale: float = 0.02) -> Any:
+    """Random weights WITHOUT running an init forward (seconds, not minutes).
+
+    Distributions are not the per-module init schemes — use only where weight
+    values don't matter (benchmarks, compile checks).
+    """
+    template = variables_template(cfg)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, len(leaves))
+
+    @jax.jit
+    def make(keys):
+        out = []
+        for k, leaf in zip(keys, leaves):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * scale)
+            elif leaf.dtype == jnp.bool_:
+                out.append(jnp.ones(leaf.shape, leaf.dtype))
+            else:
+                out.append(jnp.zeros(leaf.shape, leaf.dtype))
+        return out
+
+    return jax.tree_util.tree_unflatten(treedef, make(keys))
+
+
 def random_engine(cfg: Optional[Config] = None, seed: int = 0,
-                  engine_cfg: EngineConfig = EngineConfig()) -> TTSEngine:
+                  engine_cfg: EngineConfig = EngineConfig(),
+                  fast: bool = False) -> TTSEngine:
     """Engine with freshly-initialised (untrained) weights — for tests/bench."""
     from detail_tts_tpu.train.step import init_variables
 
     cfg = cfg or Config()
     model = SynthesizerTrn(cfg)
-    variables = init_variables(model, cfg, jax.random.PRNGKey(seed))
+    if fast:
+        variables = fast_random_variables(cfg, seed)
+    else:
+        variables = init_variables(model, cfg, jax.random.PRNGKey(seed))
     return TTSEngine(cfg, variables, engine_cfg)
