@@ -95,9 +95,6 @@ class AttentionBlock(nn.Module):
         h = self.num_heads
         ch = c // h
         y = self.norm(x)
-        qkv = self.qkv(y)  # (B, T, 3C), layout [q|k|v] per head
-        qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)  # (B,H,T,3ch)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         precomputed = bias is not None
         if bias is None and self.relative_pos_embeddings:
@@ -108,12 +105,41 @@ class AttentionBlock(nn.Module):
             # path, which is exactly when the bias arrives precomputed
             use_pallas = (jax.default_backend() == "tpu" and mask is None
                           and precomputed)
-        if use_pallas:
-            from detail_tts_tpu.ops.pallas.attention import attention
+        if use_pallas and not self.is_initializing():
+            import os
 
-            a = attention(q, k, v, bias.astype(q.dtype),
-                          sm_scale=1.0 / math.sqrt(ch))
+            from detail_tts_tpu.ops.pallas.attention import row_block_attention
+
+            # Fold the head-dim pad (ch -> 64) into the projection WEIGHTS:
+            # no activation-pad pass, and q/k/v become contiguous leading
+            # slices after one (B,T,H,3,64) -> (3,B,H,T,64) transpose.
+            dp = 64 if ch <= 64 else -(-ch // 128) * 128
+            wk = self.qkv.variables["params"]["conv"]["kernel"]  # (1, C, 3C)
+            wb = self.qkv.variables["params"]["conv"]["bias"]
+            wk = jnp.pad(wk.reshape(c, h, 3, ch),
+                         ((0, 0), (0, 0), (0, 0), (0, dp - ch)))
+            wb = jnp.pad(wb.reshape(h, 3, ch),
+                         ((0, 0), (0, 0), (0, dp - ch)))
+            qkv = y @ wk.reshape(c, h * 3 * dp).astype(y.dtype) + wb.reshape(-1)
+            qkv = qkv.reshape(b, t, h, 3, dp).transpose(3, 0, 2, 1, 4)
+            blk_q = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "256"))
+            t_pad = -(-t // blk_q) * blk_q
+            if t_pad != t:
+                qkv = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, t_pad - t),
+                                    (0, 0)))
+                from detail_tts_tpu.ops.pallas.attention import pad_bias
+
+                bias = pad_bias(bias.astype(y.dtype), t, t_pad)
+            a = row_block_attention(qkv[0], qkv[1], qkv[2],
+                                    bias.astype(qkv.dtype),
+                                    sm_scale=1.0 / math.sqrt(ch),
+                                    block_q=blk_q,
+                                    interpret=jax.default_backend() != "tpu")
+            a = a[:, :, :t, :ch].transpose(0, 2, 1, 3).reshape(b, t, c)
         else:
+            qkv = self.qkv(y)  # (B, T, 3C), layout [q|k|v] per head
+            qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
             scale = 1.0 / math.sqrt(math.sqrt(ch))
             logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
             if bias is not None:
@@ -122,7 +148,7 @@ class AttentionBlock(nn.Module):
             if mask is not None:
                 w = w * mask[:, None, None, :]
             a = jnp.einsum("bhts,bhsd->bhtd", w, v)
-        a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
+            a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
         return x + self.proj_out(a)
 
 

@@ -1,0 +1,28 @@
+"""Layout-preserving qkv-packed attention kernel parity (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detail_tts_tpu.ops.pallas.attention import attention_qkv
+
+
+def _xla_ref(qkv, bias, sm_scale):
+    b, t, h, _, d = qkv.shape
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    logits = jnp.einsum("bthd,bshd->bhts", q, k) * sm_scale + bias[None]
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhts,bshd->bthd", w, v)
+
+
+def test_qkv_kernel_matches_xla():
+    rng = np.random.default_rng(0)
+    b, t, h, d = 2, 200, 4, 48
+    qkv = jnp.asarray(rng.normal(size=(b, t, h, 3, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, t, t)), jnp.float32)
+    sm = 1.0 / np.sqrt(d)
+    ref = _xla_ref(qkv, bias, sm)
+    out = attention_qkv(qkv, bias, sm_scale=sm, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out[..., :d]),
+                               atol=2e-5, rtol=1e-4)
+    # padded head-dim columns are exactly zero (v padding)
+    assert float(jnp.max(jnp.abs(out[..., d:]))) == 0.0
