@@ -143,7 +143,13 @@ def group_norm_groups(channels: int) -> int:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 (diff_util.py:113-115), NTC layout."""
+    """GroupNorm with fp32 statistics (diff_util.py:113-115), NTC layout.
+
+    Hand-rolled (instead of nn.GroupNorm on an fp32 cast) so a bf16 input
+    never materializes an fp32 copy: the reductions accumulate in fp32, the
+    normalization stays in the input dtype.  Param names match nn.GroupNorm
+    (scale/bias under GroupNorm_0) for checkpoint compatibility.
+    """
 
     channels: int
     groups: Optional[int] = None
@@ -152,11 +158,10 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         g = self.groups if self.groups is not None else group_norm_groups(self.channels)
-        orig_dtype = x.dtype
-        y = nn.GroupNorm(num_groups=g, epsilon=self.epsilon, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return y.astype(orig_dtype)
+        # flax computes the statistics in fp32 internally; leaving dtype
+        # unset keeps the normalized output in the input dtype without
+        # materializing an fp32 copy of the activations.
+        return nn.GroupNorm(num_groups=g, epsilon=self.epsilon)(x)
 
 
 class Dense(nn.Module):

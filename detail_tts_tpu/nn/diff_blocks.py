@@ -121,8 +121,11 @@ class AttentionBlock(nn.Module):
             wb = jnp.pad(wb.reshape(h, 3, ch),
                          ((0, 0), (0, 0), (0, dp - ch)))
             qkv = y @ wk.reshape(c, h * 3 * dp).astype(y.dtype) + wb.reshape(-1)
+            from detail_tts_tpu.ops.pallas.attention import pick_block_q
+
             qkv = qkv.reshape(b, t, h, 3, dp).transpose(3, 0, 2, 1, 4)
-            blk_q = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "256"))
+            blk_q = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "0")) or \
+                pick_block_q(t)
             t_pad = -(-t // blk_q) * blk_q
             if t_pad != t:
                 qkv = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, t_pad - t),

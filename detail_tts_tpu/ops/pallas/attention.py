@@ -33,6 +33,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pick_block_q(t: int) -> int:
+    """Largest row-block that divides T exactly (zero softmax/pad waste,
+    fewest K/V re-fetches); VMEM caps the block at 800 rows."""
+    for bq in (800, 640, 512, 448, 400, 384, 320, 256, 224, 200, 192, 160,
+               128):
+        if t % bq == 0:
+            return bq
+    return 256
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
     q = q_ref[0, 0].astype(jnp.float32)       # (BQ, D)
     k = k_ref[0, 0].astype(jnp.float32)       # (T, D)

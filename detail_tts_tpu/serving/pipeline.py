@@ -51,6 +51,9 @@ class EngineConfig:
     max_generate_length: int = 600
     noise_scale: float = 0.667        # model_24k.py:858
     diffusion_temperature: float = 1.0
+    # 'ancestral' is the reference's LIVE path (p_sample_loop, model_24k.py:489);
+    # 'dpmpp_2m' is its *configured* sampler (model_24k.py:583), 'ddim' extra.
+    diffusion_sampler: str = "ancestral"
     # Bucketing (TPU addition: bounds the number of compiled programs)
     text_buckets: Sequence[int] = (32, 64, 128, 256, 512, 800)
     prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600)
@@ -81,9 +84,15 @@ class TTSEngine:
 
     def __init__(self, cfg: Config, variables: Dict[str, Any],
                  engine_cfg: EngineConfig = EngineConfig(),
-                 tokenizer: Optional[Any] = None):
+                 tokenizer: Optional[Any] = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — weights get Megatron-style
+        TP over the ``model`` axis (parallel/mesh.py rules) and request
+        batches are sharded over the ``data`` axis; single-chip serving
+        passes mesh=None (the reference has no serving parallelism at all,
+        its inference is batch-1 single-GPU, model_24k.py:774)."""
         self.cfg = cfg
         self.ecfg = engine_cfg
+        self.mesh = mesh
         self.model = SynthesizerTrn(cfg)
         cdt = engine_cfg.compute_dtype
         if cdt is not None:
@@ -95,6 +104,12 @@ class TTSEngine:
                 if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
                 variables["params"])
             variables = dict(variables, params=params)
+        if mesh is not None:
+            from detail_tts_tpu.parallel.mesh import replicate_tree, shard_tree
+
+            variables = {"params": shard_tree(variables["params"], mesh),
+                         "vq_state": replicate_tree(variables["vq_state"],
+                                                    mesh)}
         self.variables = variables
         self._cdt = cdt or jnp.float32
         self.frontend = MelFrontend(
@@ -166,9 +181,27 @@ class TTSEngine:
             noise = jax.random.normal(
                 n_rng, (latents.shape[0], out_len, cfg.diffusion.in_channels),
                 jnp.float32) * ecfg.diffusion_temperature
-            mel_norm = p_sample_loop(
-                self.schedule, model_fn, noise, s_rng,
-                cond_free_k=cfg.diffusion.cond_free_k, conditioning_free=True)
+            if ecfg.diffusion_sampler == "ancestral":
+                mel_norm = p_sample_loop(
+                    self.schedule, model_fn, noise, s_rng,
+                    cond_free_k=cfg.diffusion.cond_free_k,
+                    conditioning_free=True)
+            elif ecfg.diffusion_sampler == "ddim":
+                from detail_tts_tpu.models.diffusion import ddim_sample_loop
+
+                mel_norm = ddim_sample_loop(
+                    self.schedule, model_fn, noise,
+                    cond_free_k=cfg.diffusion.cond_free_k,
+                    conditioning_free=True)
+            elif ecfg.diffusion_sampler == "dpmpp_2m":
+                from detail_tts_tpu.models.diffusion import dpmpp_2m_sample_loop
+
+                mel_norm = dpmpp_2m_sample_loop(
+                    self.schedule, model_fn, noise,
+                    cond_free_k=cfg.diffusion.cond_free_k,
+                    conditioning_free=True)
+            else:
+                raise ValueError(ecfg.diffusion_sampler)
             return denormalize_mel(mel_norm)
 
         @jax.jit
@@ -233,6 +266,14 @@ class TTSEngine:
         lengths = np.full((len(wavs),), bucket, np.int32)
         return jnp.asarray(out), jnp.asarray(lengths)
 
+    def _shard(self, *arrays):
+        """Shard request arrays over the mesh's data axis (no-op w/o mesh)."""
+        if self.mesh is None:
+            return arrays
+        from detail_tts_tpu.parallel.mesh import shard_batch
+
+        return tuple(shard_batch(a, self.mesh) for a in arrays)
+
     # ------------------------------------------------------------ pipelines
 
     def generate_codes(self, refer_mel, refer_len, text, rng,
@@ -264,6 +305,7 @@ class TTSEngine:
         g_rng, d_rng, v_rng = jax.random.split(rng, 3)
         text, _ = self.prepare_text(texts)
         refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
+        text, refer_mel, refer_len = self._shard(text, refer_mel, refer_len)
 
         codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
                                          force_full=force_full)
@@ -284,6 +326,35 @@ class TTSEngine:
         """Single-utterance convenience (the api.py surface)."""
         return self.synthesize_batch([text], [prompt_wav], rng)[0]
 
+    def synthesize_from_ids(self, text_ids: jnp.ndarray,
+                            refer_mel: jnp.ndarray, refer_len: jnp.ndarray,
+                            rng: jax.Array, vq_only: bool = False
+                            ) -> List[np.ndarray]:
+        """Low-level entry on pre-tokenized ids + prompt mel (trainer eval).
+
+        Mirrors the reference's eval-time ``infer_gpt`` (vq_only) / ``infer``
+        calls on raw batch tensors (train.py:234-236).
+        """
+        g_rng, d_rng, v_rng = jax.random.split(rng, 3)
+        codes, eff = self.generate_codes(refer_mel, refer_len, text_ids, g_rng)
+        codes_b, wav_len, _ = self._pad_codes(codes, eff)
+        if vq_only:
+            codes_np = np.asarray(codes_b)
+            codes_b = jnp.asarray(
+                np.where(codes_np < self.cfg.vaegan.vq_bins, codes_np, 0))
+            mel = self._codes_to_mel(self.variables, codes_b, refer_mel,
+                                     refer_len)
+        else:
+            latents = self._latents(self.variables, refer_mel, refer_len,
+                                    text_ids, codes_b, wav_len)
+            mel = self._diffuse(self.variables, latents, refer_mel, d_rng)
+        mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
+        wav = np.asarray(self._vocode(self.variables, mel, mel_lengths,
+                                      v_rng)[..., 0])
+        hop_per_code = self._gpt.mel_length_compression
+        return [wav[i, : int(eff[i]) * hop_per_code]
+                for i in range(wav.shape[0])]
+
     def synthesize_vq_batch(self, texts: Sequence[str],
                             prompt_wavs: Sequence[np.ndarray],
                             rng: Optional[jax.Array] = None,
@@ -293,6 +364,7 @@ class TTSEngine:
         g_rng, v_rng = jax.random.split(rng)
         text, _ = self.prepare_text(texts)
         refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
+        text, refer_mel, refer_len = self._shard(text, refer_mel, refer_len)
 
         codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
                                          force_full=force_full)

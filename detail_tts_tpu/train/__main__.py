@@ -27,6 +27,16 @@ def main(argv=None):
     p.add_argument("--num-workers", type=int, default=8)
     args = p.parse_args(argv)
 
+    import os
+
+    import jax
+
+    # multi-host TPU slice: initialize the distributed runtime before any
+    # backend use (SURVEY §2.4: replaces Accelerate's process-group init)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     from detail_tts_tpu.config import Config
     from detail_tts_tpu.train.trainer import Trainer
 

@@ -77,7 +77,11 @@ def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
 class Trainer:
     def __init__(self, cfg: Config | str, data_iter: Optional[Iterator] = None,
                  logs_folder: Optional[str] = None, mesh=None, seed: int = 0,
-                 buckets: BucketSpec = BucketSpec()):
+                 buckets: BucketSpec = BucketSpec(),
+                 synth_eval: bool = False):
+        """``synth_eval``: for targets gpt/diff, run full synthesis at every
+        val_freq like the reference (train.py:229-240) — compiles the AR
+        decode + diffusion pipeline inside training, so it is opt-in."""
         if isinstance(cfg, str):
             cfg = Config.from_json(cfg)
         self.cfg = cfg
@@ -95,6 +99,7 @@ class Trainer:
         self.data_iter = data_iter
         self.buckets = buckets
         self.metrics = MetricsLogger(self.logs_folder) if _is_host0() else None
+        self.synth_eval = synth_eval
         self._engine = None
 
     # ------------------------------------------------------------- plumbing
@@ -160,6 +165,11 @@ class Trainer:
                 _, wav = self.model.apply(
                     variables, jnp.asarray(first("raw_mel")), rng,
                     method=SynthesizerTrn.infer_vqvae)
+            elif self.target in ("gpt", "diff") and self.synth_eval:
+                # reference: gpt -> infer_gpt, diff -> infer (train.py:234-236)
+                wav = self._run_synth_eval(variables, first, rng)[0][None, :,
+                                                                     None]
+                wav = jnp.asarray(wav)
             else:
                 wav = self.model.apply(
                     variables, jnp.asarray(first("raw_mel")),
@@ -171,6 +181,21 @@ class Trainer:
                      first("raw_wav").reshape(-1), sr)
         except Exception as e:  # eval must never kill training
             print(f"eval dump failed: {e}")
+
+    def _run_synth_eval(self, variables, first, rng):
+        from detail_tts_tpu.serving.pipeline import EngineConfig, TTSEngine
+
+        if self._engine is None:
+            self._engine = TTSEngine(self.cfg, variables,
+                                     EngineConfig(max_generate_length=200,
+                                                  compute_dtype=None))
+        else:
+            self._engine.variables = variables
+        text = jnp.asarray(first("text"))
+        mel = jnp.asarray(first("mel"))
+        lengths = jnp.asarray(first("spec_length"))
+        return self._engine.synthesize_from_ids(
+            text, mel, lengths, rng, vq_only=(self.target == "gpt"))
 
     # ---------------------------------------------------------------- train
 

@@ -102,3 +102,24 @@ def test_trainer_steps_and_checkpoint(tmp_path):
     a = jax.tree_util.tree_leaves(tr.state.params)[0]
     b = jax.tree_util.tree_leaves(tr2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_synth_eval_gpt(tmp_path):
+    """gpt target + synth_eval: eval runs the full infer_gpt pipeline."""
+    cfg = small_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, target="gpt",
+                                  gradient_accumulate_every=1, batch_size=2,
+                                  val_freq=1, save_freq=100))
+    jsonl = _make_dataset(tmp_path)
+    from detail_tts_tpu.train.trainer import Trainer
+
+    buckets = BucketSpec(crop_frames=96, crop_threshold=100,
+                         raw_buckets=(128,), text_buckets=(32,))
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs"), buckets=buckets,
+                 synth_eval=True)
+    tr.default_data(jsonl, num_threads=2)
+    tr.train(max_steps=1, log_every=1)
+    tr.data_iter.close()
+    assert os.path.exists(str(tmp_path / "logs" / "sample-0.wav"))
