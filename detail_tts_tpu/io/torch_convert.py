@@ -445,3 +445,26 @@ def load_torch_checkpoint(path: str, cfg, save_msgpack: Optional[str] = None):
 
         save_variables(save_msgpack, variables)
     return variables
+
+
+def main(argv=None):
+    """CLI: python -m detail_tts_tpu.io.torch_convert ckpt.pt out.msgpack"""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a reference PyTorch checkpoint to serving "
+                    "weights (flax msgpack).")
+    p.add_argument("torch_ckpt")
+    p.add_argument("out_msgpack")
+    p.add_argument("--config", default=None)
+    args = p.parse_args(argv)
+
+    from detail_tts_tpu.config import Config
+
+    cfg = Config.from_json(args.config) if args.config else Config()
+    load_torch_checkpoint(args.torch_ckpt, cfg, save_msgpack=args.out_msgpack)
+    print(f"wrote {args.out_msgpack}")
+
+
+if __name__ == "__main__":
+    main()

@@ -224,3 +224,31 @@ def test_diffusion_parity(ref_and_jax):
                                atol=1e-3, rtol=1e-2)
     np.testing.assert_allclose(out_ref.transpose(0, 2, 1), np.asarray(out_j),
                                atol=2e-3, rtol=1e-2)
+
+
+def test_full_checkpoint_convert_and_msgpack_roundtrip(ref_and_jax, tmp_path):
+    """torch.save dict -> load_torch_checkpoint -> msgpack -> restore."""
+    import torch
+
+    from detail_tts_tpu.io.torch_convert import load_torch_checkpoint
+    from detail_tts_tpu.train.checkpoint import restore_variables
+
+    G, model, variables, cfg = ref_and_jax
+    ckpt = str(tmp_path / "model-1.pt")
+    # the reference trainer's checkpoint layout (train.py:139-150)
+    torch.save({"step": 1000, "epoch": 1, "G": G.state_dict(), "D": {},
+                "G_opt": {}, "D_opt": {}}, ckpt)
+    msgpack = str(tmp_path / "weights.msgpack")
+    loaded = load_torch_checkpoint(ckpt, cfg, save_msgpack=msgpack)
+
+    a = loaded["params"]["gpt"]["mel_head"]["dense"]["kernel"]
+    b = variables["params"]["gpt"]["mel_head"]["dense"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    restored = restore_variables(msgpack, cfg)
+    c = restored["params"]["gpt"]["mel_head"]["dense"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    cb = restored["vq_state"]["quantizer"]["layer_0"]["codebook"]["embed"]
+    np.testing.assert_array_equal(
+        np.asarray(cb),
+        np.asarray(variables["vq_state"]["quantizer"]["layer_0"]["codebook"]["embed"]))
