@@ -30,6 +30,16 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # persistent compilation cache: repeat runs skip the ~5 min warmup
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import numpy as np
 
     from detail_tts_tpu.config import Config, small_test_config
