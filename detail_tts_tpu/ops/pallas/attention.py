@@ -102,135 +102,6 @@ def row_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, bias)
 
 
-def _attn_qkv_kernel(qkv_q_ref, qkv_kv_ref, bias_ref, o_ref, *,
-                     sm_scale: float, d_pad: int):
-    q = qkv_q_ref[0, :, 0, 0, :].astype(jnp.float32)   # (BQ, D)
-    k = qkv_kv_ref[0, :, 0, 1, :].astype(jnp.float32)  # (T, D)
-    v = qkv_kv_ref[0, :, 0, 2, :]                       # (T, D)
-    bias = bias_ref[0].astype(jnp.float32)              # (BQ, T)
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale + bias
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, 0, :] = (out / l).astype(o_ref.dtype)
-
-
-def attention_qkv(qkv: jax.Array, bias: jax.Array, *, sm_scale: float,
-                  block_q: int = 256, interpret: bool = False) -> jax.Array:
-    """Layout-preserving attention on the packed projection output.
-
-    qkv: (B, T, H, 3, D) — exactly the reshaped output of the fused qkv
-    1x1 conv (no transpose needed); bias: (H, T, T) pre-scaled.
-    Returns (B, T, H, Dp) with Dp = padded head dim; the caller reshapes
-    (B, T, H*Dp) and feeds a weight-padded or sliced projection.
-
-    This removes the (B,H,T,D) transpose+pad copies that cost ~25% of
-    diffusion sampling time in the XLA-layout path.  The (3, D) axes fold
-    into one 3*Dp lane axis (TPU blocks need the trailing dims aligned);
-    the kernel slices q/k/v out of the loaded tile.
-    """
-    b, t, h, three, d = qkv.shape
-    assert three == 3
-    t_pad = _round_up(t, block_q)
-    d_pad = 64 if d <= 64 else _round_up(d, LANE)
-    if (t_pad, d_pad) != (t, d):
-        qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0), (0, 0),
-                            (0, d_pad - d)))
-    bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
-    n_q = t_pad // block_q
-
-    grid = (h, n_q, b)
-    # Blocks keep the trailing (3, d_pad) axes whole (TPU alignment rule);
-    # the kernel slices q/k/v from the loaded tile.
-    out = pl.pallas_call(
-        functools.partial(_attn_qkv_kernel, sm_scale=sm_scale, d_pad=d_pad),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, h, 1, d_pad), qkv.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, 3, d_pad),
-                         lambda hh, iq, bb: (bb, iq, hh, 0, 0)),
-            pl.BlockSpec((1, t_pad, 1, 3, d_pad),
-                         lambda hh, iq, bb: (bb, 0, hh, 0, 0)),
-            pl.BlockSpec((1, block_q, t_pad), lambda hh, iq, bb: (hh, iq, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, 1, 1, d_pad),
-                               lambda hh, iq, bb: (bb, iq, hh, 0, 0)),
-        interpret=interpret,
-    )(qkv, qkv, bias_p)
-    return out[:, :t, :, 0]
-
-
-def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                        sm_scale: float):
-    q = q_ref[0].astype(jnp.float32)        # (BQ, Dp)
-    k = k_ref[0].astype(jnp.float32)        # (T, Dp)
-    v = v_ref[0]                             # (T, Dp)
-    bias = bias_ref[0].astype(jnp.float32)   # (BQ, T)
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale + bias
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = (out / l).astype(o_ref.dtype)
-
-
-def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
-                     sm_scale: float, block_q: int = 256,
-                     interpret: bool = False) -> jax.Array:
-    """Fully layout-preserving attention on lane-padded packed projections.
-
-    qkv_flat: (B, T, H * 3 * 128) — channel order [head][q|k|v][128-padded
-    head dim] (produced by one fused pad of the qkv conv output; real head
-    dim <= 128, upper lanes zero).  bias: (H, T, T) pre-scaled.
-    Returns (B, T, H * 128).
-
-    Head and q/k/v selection happen entirely in the lane-block index maps
-    (block index 3*h + {0,1,2}), so neither the wrapper nor the kernel does
-    any transpose or strided slice — the two operations Mosaic can't fuse
-    and XLA pays ~25% of diffusion sampling time for.
-    """
-    b, t, hd = qkv_flat.shape
-    d_pad = LANE
-    assert hd == heads * 3 * d_pad, (hd, heads)
-    t_pad = _round_up(t, block_q)
-    if t_pad != t:
-        qkv_flat = jnp.pad(qkv_flat, ((0, 0), (0, t_pad - t), (0, 0)))
-    bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
-    n_q = t_pad // block_q
-
-    grid = (heads, n_q, b)
-    out = pl.pallas_call(
-        functools.partial(_attn_packed_kernel, sm_scale=sm_scale),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, heads * d_pad),
-                                       qkv_flat.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad),
-                         lambda hh, iq, bb: (bb, iq, 3 * hh)),
-            pl.BlockSpec((1, t_pad, d_pad),
-                         lambda hh, iq, bb: (bb, 0, 3 * hh + 1)),
-            pl.BlockSpec((1, t_pad, d_pad),
-                         lambda hh, iq, bb: (bb, 0, 3 * hh + 2)),
-            pl.BlockSpec((1, block_q, t_pad), lambda hh, iq, bb: (hh, iq, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad),
-                               lambda hh, iq, bb: (bb, iq, hh)),
-        interpret=interpret,
-    )(qkv_flat, qkv_flat, qkv_flat, bias_p)
-    return out[:, :t]
-
-
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
               *, sm_scale: float, block_q: int = 128,
               interpret: bool = False) -> jax.Array:

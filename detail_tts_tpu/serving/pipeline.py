@@ -49,6 +49,7 @@ class EngineConfig:
     top_p: float = 0.8
     repetition_penalty: float = 2.0
     max_generate_length: int = 600
+    typical_mass: float = 1.0         # <1.0 enables entropy-typical sampling
     noise_scale: float = 0.667        # model_24k.py:858
     diffusion_temperature: float = 1.0
     # 'ancestral' is the reference's LIVE path (p_sample_loop, model_24k.py:489);
@@ -138,6 +139,7 @@ class TTSEngine:
             sampling = SamplingConfig(
                 temperature=ecfg.temperature, top_p=ecfg.top_p,
                 repetition_penalty=ecfg.repetition_penalty,
+                typical_mass=ecfg.typical_mass,
                 max_generate_length=max_len, force_full_length=force_full)
             gpt_params = {"params": variables["params"]["gpt"]}
             return generate_speech_tokens(
@@ -222,12 +224,25 @@ class TTSEngine:
             return model.apply(variables, mel, rng,
                                method=SynthesizerTrn.infer_vqvae)
 
+        @functools.partial(jax.jit, static_argnames=("bucket", "vq_safe"))
+        def _pad_codes_dev(codes, eff, bucket, vq_safe=False):
+            """Crop codes to ``bucket``, stop-fill past each length (device)."""
+            c = codes[:, :bucket]
+            pos = jnp.arange(bucket)[None, :]
+            fill = self._gpt.stop_mel_token
+            c = jnp.where(pos < eff[:, None], c, fill)
+            if vq_safe:  # ids beyond the VQ codebook (start/stop) -> 0
+                c = jnp.where(c < cfg.vaegan.vq_bins, c, 0)
+            wav_len = (eff * self._gpt.mel_length_compression).astype(jnp.int32)
+            return c, wav_len
+
         self._generate = _generate
         self._latents = _latents
         self._diffuse = _diffuse
         self._vocode = _vocode
         self._codes_to_mel = _codes_to_mel
         self._vq_roundtrip = _vq_roundtrip
+        self._pad_codes_dev = _pad_codes_dev
 
     # ------------------------------------------------------------- host prep
 
@@ -288,13 +303,14 @@ class TTSEngine:
         eff = np.maximum(np.asarray(lengths) - 1, 1).astype(np.int32)
         return codes, eff
 
-    def _pad_codes(self, codes, eff) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    def _pad_codes(self, codes, eff, vq_safe: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+        """Bucket + stop-fill on device (codes never round-trip the host;
+        only the tiny ``eff`` vector crossed for bucket selection)."""
         bucket = _bucket_up(int(eff.max()), self.ecfg.code_buckets)
-        c = np.asarray(codes)[:, :bucket].copy()
-        pos = np.arange(bucket)[None, :]
-        c = np.where(pos < eff[:, None], c, self._gpt.stop_mel_token)
-        wav_len = jnp.asarray(eff * self._gpt.mel_length_compression, jnp.int32)
-        return jnp.asarray(c, jnp.int32), wav_len, bucket
+        codes_b, wav_len = self._pad_codes_dev(
+            codes, jnp.asarray(eff, jnp.int32), bucket, vq_safe)
+        return codes_b, wav_len, bucket
 
     def synthesize_batch(self, texts: Sequence[str],
                          prompt_wavs: Sequence[np.ndarray],
@@ -337,11 +353,8 @@ class TTSEngine:
         """
         g_rng, d_rng, v_rng = jax.random.split(rng, 3)
         codes, eff = self.generate_codes(refer_mel, refer_len, text_ids, g_rng)
-        codes_b, wav_len, _ = self._pad_codes(codes, eff)
+        codes_b, wav_len, _ = self._pad_codes(codes, eff, vq_safe=vq_only)
         if vq_only:
-            codes_np = np.asarray(codes_b)
-            codes_b = jnp.asarray(
-                np.where(codes_np < self.cfg.vaegan.vq_bins, codes_np, 0))
             mel = self._codes_to_mel(self.variables, codes_b, refer_mel,
                                      refer_len)
         else:
@@ -368,13 +381,10 @@ class TTSEngine:
 
         codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
                                          force_full=force_full)
-        codes_b, _, _ = self._pad_codes(codes, eff)
-        # The GPT vocab has start/stop ids beyond the VQ codebook (8192/8193
-        # vs 8192 bins); they never index the codebook in the reference's
-        # exact-length batch-1 path — map them (and the stop padding) to 0.
-        codes_np = np.asarray(codes_b)
-        codes_b = jnp.asarray(
-            np.where(codes_np < self.cfg.vaegan.vq_bins, codes_np, 0))
+        # vq_safe: GPT start/stop ids exceed the VQ codebook (8192/8193 vs
+        # 8192 bins) and never index it in the reference's exact-length
+        # batch-1 path — mapped (with the stop padding) to 0.
+        codes_b, _, _ = self._pad_codes(codes, eff, vq_safe=True)
         mel = self._codes_to_mel(self.variables, codes_b, refer_mel, refer_len)
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
         wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
