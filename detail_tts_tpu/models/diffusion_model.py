@@ -116,6 +116,50 @@ class DiffusionTts(nn.Module):
     def code_pred(self, expanded_code_emb: jax.Array) -> jax.Array:
         return self.mel_head(expanded_code_emb)
 
+    def cfg_call(self, x: jax.Array, timesteps: jax.Array,
+                 code_emb_cond: jax.Array,
+                 precomputed_biases: Optional[list] = None) -> jax.Array:
+        """CFG-batched forward: x/timesteps are (2B, ...) = [cond | uncond].
+
+        The unconditioned branch's code embedding is ONE learned vector
+        broadcast over time and batch (diff_model.py:192,247-249), so its
+        conditioning_timestep_integrator output is identical for every
+        batch element: compute it once (B+1 integrator rows instead of 2B)
+        and broadcast — ~45% less integrator work per sampling step with
+        bit-identical results (all ops are per-batch-element).
+        """
+        c = self.cfg
+        b = code_emb_cond.shape[0]
+        assert x.shape[0] == 2 * b
+        temb = timestep_embedding(timesteps, c.model_channels).astype(x.dtype)
+        temb = self.time_embed_1(jax.nn.silu(self.time_embed_0(temb)))
+
+        uncond = jnp.broadcast_to(
+            self.unconditioned_embedding.astype(x.dtype),
+            (1,) + code_emb_cond.shape[1:])
+        ce = jnp.concatenate([code_emb_cond.astype(x.dtype), uncond], axis=0)
+        temb_small = jnp.concatenate([temb[:b], temb[b : b + 1]], axis=0)
+
+        biases = precomputed_biases or [None] * (
+            len(self.conditioning_timestep_integrator) + c.num_layers)
+        for j, blk in enumerate(self.conditioning_timestep_integrator):
+            ce = blk(ce, temb_small, attn_bias=biases[j])
+        code_emb = jnp.concatenate(
+            [ce[:b], jnp.broadcast_to(ce[b:], (b,) + ce.shape[1:])], axis=0)
+
+        h = self.inp_block(x)
+        h = jnp.concatenate([h, code_emb], axis=-1)
+        h = self.integrating_conv(h)
+        n_int = len(self.conditioning_timestep_integrator)
+        for i, lyr in enumerate(self.layers):
+            if isinstance(lyr, DiffusionLayer):
+                h = lyr(h, temb, attn_bias=biases[n_int + i])
+            else:
+                h = lyr(h, temb)
+        h = h.astype(jnp.float32)
+        h = jax.nn.silu(self.out_norm(h))
+        return self.out_conv(h)
+
     def attention_biases(self, length: int):
         """Per-block T5 biases for sequence ``length`` (H, L, L each).
 

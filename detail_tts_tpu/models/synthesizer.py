@@ -283,6 +283,16 @@ class SynthesizerTrn(nn.Module):
         """T5 rel-pos biases for all diffusion attention blocks (hoistable)."""
         return self.diffusion.attention_biases(length)
 
+    def diffusion_cfg_step(self, x2: jax.Array, t_orig2: jax.Array,
+                           code_emb_cond: jax.Array,
+                           attn_biases: Optional[list] = None
+                           ) -> Tuple[jax.Array, jax.Array]:
+        """One CFG net call: x2/t2 are 2B-stacked [cond | uncond]."""
+        out = self.diffusion.cfg_call(x2, t_orig2, code_emb_cond,
+                                      precomputed_biases=attn_biases)
+        eps, var = jnp.split(out, 2, axis=-1)
+        return eps, var
+
     # ----------------------------------------------------------------- init
 
     def init_all(self, data: Dict[str, jax.Array],

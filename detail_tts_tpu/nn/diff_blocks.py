@@ -138,7 +138,15 @@ class AttentionBlock(nn.Module):
                                     sm_scale=1.0 / math.sqrt(ch),
                                     block_q=blk_q,
                                     interpret=jax.default_backend() != "tpu")
-            a = a[:, :, :t, :ch].transpose(0, 2, 1, 3).reshape(b, t, c)
+            # keep the padded head dim and fold the output slice into
+            # zero-padded projection weight rows (the kernel's padded
+            # columns are exactly zero, v is zero there)
+            a = a[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, h * dp)
+            pw = self.proj_out.variables["params"]["conv"]["kernel"]  # (1,C,C)
+            pb = self.proj_out.variables["params"]["conv"]["bias"]
+            pw = jnp.pad(pw[0].reshape(h, ch, c),
+                         ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
+            return x + (a @ pw.astype(a.dtype) + pb.astype(a.dtype))
         else:
             qkv = self.qkv(y)  # (B, T, 3C), layout [q|k|v] per head
             qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)

@@ -163,7 +163,6 @@ class TTSEngine:
             code_emb = model.apply(
                 variables, latents.astype(cdt_c), cond_latent,
                 method=SynthesizerTrn.diffusion_code_embedding)
-            code_emb2 = jnp.concatenate([code_emb, code_emb], axis=0)
             # T5 biases are timestep-independent: compute ONCE here so the
             # 50-step scan reuses them (and the TPU pallas attention kernel
             # engages on the precomputed-bias path).
@@ -172,11 +171,15 @@ class TTSEngine:
             biases = [b.astype(cdt_c) for b in biases]
 
             def model_fn(x, t_orig, conditioning_free):
+                if x.shape[0] == 2 * latents.shape[0]:
+                    # CFG 2B call: uncond integrator deduped inside
+                    return model.apply(variables, x.astype(cdt_c), t_orig,
+                                       code_emb, biases,
+                                       method=SynthesizerTrn.diffusion_cfg_step)
                 if conditioning_free is None:
                     conditioning_free = jnp.zeros((x.shape[0],), bool)
-                ce = code_emb2 if x.shape[0] == 2 * latents.shape[0] else code_emb
-                return model.apply(variables, x.astype(cdt_c), t_orig, ce,
-                                   conditioning_free, biases,
+                return model.apply(variables, x.astype(cdt_c), t_orig,
+                                   code_emb, conditioning_free, biases,
                                    method=SynthesizerTrn.diffusion_step)
 
             n_rng, s_rng = jax.random.split(rng)
