@@ -35,10 +35,17 @@ def gelu_new(x: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked KV cache: (L, B, max_len, H, ch)."""
+    """Per-layer KV cache: tuples of L arrays, each (B, max_len, H, ch).
 
-    k: jax.Array
-    v: jax.Array
+    Tuples (not a stacked (L, ...) array): inside the decode while_loop a
+    stacked cache would be sliced per layer and re-stacked every step —
+    XLA copies the whole cache each iteration (~230 MB/step at serving
+    shapes).  Per-layer carry arrays update in place via
+    dynamic_update_slice aliasing.
+    """
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
     length: jax.Array  # scalar int32: number of valid positions
 
 
@@ -140,7 +147,7 @@ class GPT2Stack(nn.Module):
         x = nn.LayerNorm(epsilon=self.ln_eps, name="ln_f")(x)
         if cache is None:
             return x, None
-        new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v),
+        new_cache = KVCache(tuple(new_k), tuple(new_v),
                             cache.length + emb.shape[1])
         return x, new_cache
 
@@ -272,8 +279,9 @@ class UnifiedVoice(nn.Module):
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
         c = self.cfg
-        shape = (c.layers, batch, max_len, c.heads, c.model_dim // c.heads)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        shape = (batch, max_len, c.heads, c.model_dim // c.heads)
+        return KVCache(tuple(jnp.zeros(shape, dtype) for _ in range(c.layers)),
+                       tuple(jnp.zeros(shape, dtype) for _ in range(c.layers)),
                        jnp.asarray(0, jnp.int32))
 
 
