@@ -59,6 +59,7 @@ def main():
         prompt_buckets=(int(prompt_secs * cfg.data.sampling_rate
                             / cfg.data.hop_length) // 4 * 4,),
         code_buckets=(gen_codes,),
+        pcm16_output=True,  # serving wire format; halves D2H transfer
     )
 
     t0 = time.perf_counter()

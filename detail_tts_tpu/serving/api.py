@@ -39,6 +39,9 @@ def load_wav(path: str, target_sr: int) -> np.ndarray:
 def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
     from scipy.io import wavfile
 
+    if wav.dtype == np.int16:  # engine pcm16_output mode
+        wavfile.write(path, sr, wav)
+        return
     pcm = np.clip(wav, -1.0, 1.0)
     wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
 

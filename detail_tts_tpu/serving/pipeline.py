@@ -55,6 +55,9 @@ class EngineConfig:
     # 'ancestral' is the reference's LIVE path (p_sample_loop, model_24k.py:489);
     # 'dpmpp_2m' is its *configured* sampler (model_24k.py:583), 'ddim' extra.
     diffusion_sampler: str = "ancestral"
+    # Convert to int16 PCM on device before the host transfer (halves the
+    # device->host bytes; the serving wire format is PCM anyway).
+    pcm16_output: bool = False
     # Bucketing (TPU addition: bounds the number of compiled programs)
     text_buckets: Sequence[int] = (32, 64, 128, 256, 512, 800)
     prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600)
@@ -214,6 +217,9 @@ class TTSEngine:
             wav = model.apply(variables, mel.astype(cdt_c), lengths, rng,
                               noise_scale=ecfg.noise_scale,
                               method=SynthesizerTrn.infer_flowvae)
+            if ecfg.pcm16_output:
+                return jnp.round(jnp.clip(wav.astype(jnp.float32), -1, 1)
+                                 * 32767.0).astype(jnp.int16)
             return wav.astype(jnp.float32)
 
         @jax.jit
