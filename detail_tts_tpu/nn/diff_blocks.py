@@ -108,45 +108,61 @@ class AttentionBlock(nn.Module):
         if use_pallas and not self.is_initializing():
             import os
 
-            from detail_tts_tpu.ops.pallas.attention import row_block_attention
+            from detail_tts_tpu.ops.pallas.attention import (
+                attention_packed, pad_bias, pick_block_q, row_block_attention)
 
-            # Fold the head-dim pad (ch -> 64) into the projection WEIGHTS:
-            # no activation-pad pass, and q/k/v become contiguous leading
-            # slices after one (B,T,H,3,64) -> (3,B,H,T,64) transpose.
-            dp = 64 if ch <= 64 else -(-ch // 128) * 128
+            interp = jax.default_backend() != "tpu"
+            blk_q = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "0")) or \
+                pick_block_q(t)
+            packed = os.environ.get("DTTS_ATTN_PACKED", "1") == "1"
             wk = self.qkv.variables["params"]["conv"]["kernel"]  # (1, C, 3C)
             wb = self.qkv.variables["params"]["conv"]["bias"]
+            pw = self.proj_out.variables["params"]["conv"]["kernel"]  # (1,C,C)
+            pb = self.proj_out.variables["params"]["conv"]["bias"]
+
+            if packed and ch <= 128:
+                # Zero-transpose path: head-dim padded to 128 INSIDE the qkv
+                # and proj weights; the kernel selects head/q/k/v purely via
+                # lane-block index maps on the raw (B, T, H*3*128) matmul
+                # output.  ~2x qkv/proj matmul FLOPs buys away both layout
+                # copies (the copies cost more at serving shapes).
+                dp = 128
+                wkp = jnp.pad(wk.reshape(c, h, 3, ch),
+                              ((0, 0), (0, 0), (0, 0), (0, dp - ch)))
+                wbp = jnp.pad(wb.reshape(h, 3, ch),
+                              ((0, 0), (0, 0), (0, dp - ch)))
+                qkv = y @ wkp.reshape(c, h * 3 * dp).astype(y.dtype) \
+                    + wbp.reshape(-1)
+                a = attention_packed(qkv, bias.astype(y.dtype), heads=h,
+                                     sm_scale=1.0 / math.sqrt(ch),
+                                     block_q=blk_q, interpret=interp)
+                pwp = jnp.pad(pw[0].reshape(h, ch, c),
+                              ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
+                return x + (a @ pwp.astype(a.dtype) + pb.astype(a.dtype))
+
+            # Transposed path: head-dim pad folded into weights (ch -> 64),
+            # q/k/v contiguous after one (B,T,H,3,64) -> (3,B,H,T,64)
+            # transpose; one transpose back on the output.
+            dp = 64 if ch <= 64 else -(-ch // 128) * 128
             wk = jnp.pad(wk.reshape(c, h, 3, ch),
                          ((0, 0), (0, 0), (0, 0), (0, dp - ch)))
             wb = jnp.pad(wb.reshape(h, 3, ch),
                          ((0, 0), (0, 0), (0, dp - ch)))
             qkv = y @ wk.reshape(c, h * 3 * dp).astype(y.dtype) + wb.reshape(-1)
-            from detail_tts_tpu.ops.pallas.attention import pick_block_q
-
             qkv = qkv.reshape(b, t, h, 3, dp).transpose(3, 0, 2, 1, 4)
-            blk_q = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "0")) or \
-                pick_block_q(t)
             t_pad = -(-t // blk_q) * blk_q
             if t_pad != t:
                 qkv = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, t_pad - t),
                                     (0, 0)))
-                from detail_tts_tpu.ops.pallas.attention import pad_bias
-
                 bias = pad_bias(bias.astype(y.dtype), t, t_pad)
             a = row_block_attention(qkv[0], qkv[1], qkv[2],
                                     bias.astype(qkv.dtype),
                                     sm_scale=1.0 / math.sqrt(ch),
-                                    block_q=blk_q,
-                                    interpret=jax.default_backend() != "tpu")
-            # keep the padded head dim and fold the output slice into
-            # zero-padded projection weight rows (the kernel's padded
-            # columns are exactly zero, v is zero there)
+                                    block_q=blk_q, interpret=interp)
             a = a[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, h * dp)
-            pw = self.proj_out.variables["params"]["conv"]["kernel"]  # (1,C,C)
-            pb = self.proj_out.variables["params"]["conv"]["bias"]
-            pw = jnp.pad(pw[0].reshape(h, ch, c),
-                         ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
-            return x + (a @ pw.astype(a.dtype) + pb.astype(a.dtype))
+            pwp = jnp.pad(pw[0].reshape(h, ch, c),
+                          ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
+            return x + (a @ pwp.astype(a.dtype) + pb.astype(a.dtype))
         else:
             qkv = self.qkv(y)  # (B, T, 3C), layout [q|k|v] per head
             qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)

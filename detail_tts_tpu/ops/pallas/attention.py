@@ -122,3 +122,66 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
                               sm_scale=sm_scale, block_q=block_q,
                               interpret=interpret)
     return out[:, :, :t, :d]
+def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                        sm_scale: float):
+    q = q_ref[0].astype(jnp.float32)        # (BQ, Dp)
+    k = k_ref[0].astype(jnp.float32)        # (T, Dp)
+    v = v_ref[0]                             # (T, Dp)
+    bias = bias_ref[0].astype(jnp.float32)   # (BQ, T)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale + bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (out / l).astype(o_ref.dtype)
+
+
+def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
+                     sm_scale: float, block_q: int = 256,
+                     interpret: bool = False) -> jax.Array:
+    """Fully layout-preserving attention on lane-padded packed projections.
+
+    qkv_flat: (B, T, H * 3 * 128) — channel order [head][q|k|v][128-padded
+    head dim] (produced by one fused pad of the qkv conv output; real head
+    dim <= 128, upper lanes zero).  bias: (H, T, T) pre-scaled.
+    Returns (B, T, H * 128).
+
+    Head and q/k/v selection happen entirely in the lane-block index maps
+    (block index 3*h + {0,1,2}), so neither the wrapper nor the kernel does
+    any transpose or strided slice — the two operations Mosaic can't fuse
+    and XLA pays ~25% of diffusion sampling time for.
+    """
+    b, t, hd = qkv_flat.shape
+    d_pad = LANE
+    assert hd == heads * 3 * d_pad, (hd, heads)
+    t_pad = _round_up(t, block_q)
+    if t_pad != t:
+        qkv_flat = jnp.pad(qkv_flat, ((0, 0), (0, t_pad - t), (0, 0)))
+    bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
+    n_q = t_pad // block_q
+
+    grid = (heads, n_q, b)
+    out = pl.pallas_call(
+        functools.partial(_attn_packed_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, heads * d_pad),
+                                       qkv_flat.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad),
+                         lambda hh, iq, bb: (bb, iq, 3 * hh)),
+            pl.BlockSpec((1, t_pad, d_pad),
+                         lambda hh, iq, bb: (bb, 0, 3 * hh + 1)),
+            pl.BlockSpec((1, t_pad, d_pad),
+                         lambda hh, iq, bb: (bb, 0, 3 * hh + 2)),
+            pl.BlockSpec((1, block_q, t_pad), lambda hh, iq, bb: (hh, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad),
+                               lambda hh, iq, bb: (bb, iq, hh)),
+        interpret=interpret,
+    )(qkv_flat, qkv_flat, qkv_flat, bias_p)
+    return out[:, :t]
