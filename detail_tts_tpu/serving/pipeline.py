@@ -38,7 +38,7 @@ from detail_tts_tpu.models.gpt import (SamplingConfig, UnifiedVoice,
                                        generate_speech_tokens)
 from detail_tts_tpu.models.synthesizer import SynthesizerTrn, make_infer_schedule
 from detail_tts_tpu.text.pinyin import to_pinyin
-from detail_tts_tpu.text.tokenizer import CharTokenizer, VoiceBpeTokenizer
+from detail_tts_tpu.text.tokenizer import make_tokenizer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,10 +122,7 @@ class TTSEngine:
             cfg.data.mel_fmin, cfg.data.mel_fmax)
         self.schedule = make_infer_schedule(cfg)
         if tokenizer is None:
-            try:
-                tokenizer = VoiceBpeTokenizer(cfg.data.tokenizer_vocab)
-            except Exception:
-                tokenizer = CharTokenizer()
+            tokenizer = make_tokenizer(cfg.data.tokenizer_vocab)
         self.tokenizer = tokenizer
         self._gpt = self.model.cfg.gpt  # GPTConfig shortcut
 

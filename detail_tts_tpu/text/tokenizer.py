@@ -5,15 +5,53 @@ Behavioural equivalent of the reference tokenizer
 mapped to the ``[SPACE]`` special token, HF ``tokenizers`` BPE vocab with
 specials ``[STOP]/[UNK]/[SPACE]`` and vocab size 255.
 
-Vocab files are *data assets* supplied by the user (the reference ships
-en/jp/kr/zh vocabs); pass their path, or use :class:`CharTokenizer` (a
-self-contained fallback covering the pinyin alphabet) when no vocab file is
-available.
+The four reference vocabs (zh/en/jp/kr, ~8 KB JSON data tables like the
+config) are bundled under ``detail_tts_tpu/text/vocabs/`` and resolved by
+:func:`resolve_vocab`, so tokenization matches the reference out of the box.
+:class:`CharTokenizer` is an explicit opt-in fallback (``vocab="char"``) —
+it is a *different* text frontend and is never substituted silently.
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import List, Sequence
+
+_VOCAB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vocabs")
+BUNDLED_VOCABS = ("zh", "en", "jp", "kr")
+
+
+def resolve_vocab(path: str) -> str:
+    """Resolve a tokenizer vocab spec to a real file path.
+
+    Accepts (in priority order): an existing file path; a bundled language
+    code (``"zh"``/``"en"``/``"jp"``/``"kr"``); any path whose basename
+    matches a bundled vocab (so the reference config's
+    ``bpe_tokenizers/zh_tokenizer.json`` resolves without the reference
+    checkout).  Raises ``FileNotFoundError`` otherwise — never silently
+    substitutes a different tokenizer.
+    """
+    if os.path.isfile(path):
+        return path
+    if path in BUNDLED_VOCABS:
+        return os.path.join(_VOCAB_DIR, f"{path}_tokenizer.json")
+    bundled = os.path.join(_VOCAB_DIR, os.path.basename(path))
+    if os.path.isfile(bundled):
+        return bundled
+    raise FileNotFoundError(
+        f"tokenizer vocab {path!r} not found (bundled: {BUNDLED_VOCABS}; "
+        f"pass 'char' for the explicit CharTokenizer fallback)")
+
+
+def make_tokenizer(spec: str):
+    """Build the tokenizer for a config ``tokenizer_vocab`` spec.
+
+    ``"char"`` explicitly selects :class:`CharTokenizer`; anything else goes
+    through :func:`resolve_vocab` and must resolve to a real vocab file.
+    """
+    if spec == "char":
+        return CharTokenizer()
+    return VoiceBpeTokenizer(resolve_vocab(spec))
 
 _REPLACEMENTS = {
     "{": "(", "}": ")", "[": "(", "]": ")",

@@ -28,7 +28,7 @@ from detail_tts_tpu.data.dataset import (BucketSpec, DataIterator,
 from detail_tts_tpu.models.synthesizer import SynthesizerTrn
 from detail_tts_tpu.parallel.mesh import (make_mesh, replicate_tree,
                                           shard_batch, shard_tree)
-from detail_tts_tpu.text.tokenizer import CharTokenizer, VoiceBpeTokenizer
+from detail_tts_tpu.text.tokenizer import make_tokenizer
 from detail_tts_tpu.train import checkpoint as ckpt_lib
 from detail_tts_tpu.train.step import (GAN_TARGETS, make_train_state,
                                        make_train_step, stack_microbatches)
@@ -116,10 +116,7 @@ class Trainer:
         )
 
     def default_data(self, jsonl_path: str, num_threads: int = 8):
-        try:
-            tok = VoiceBpeTokenizer(self.cfg.data.tokenizer_vocab)
-        except Exception:
-            tok = CharTokenizer()
+        tok = make_tokenizer(self.cfg.data.tokenizer_vocab)
         ds = JsonlTtsDataset(self.cfg, jsonl_path, tok)
         accum = (self.cfg.train.gradient_accumulate_every
                  if self.target not in GAN_TARGETS else 1)
