@@ -11,6 +11,8 @@ diffusion -> flow-VAE/HiFi-GAN vocoder) with fixed-length decoding so every
 run does identical work.
 
 Env knobs: BENCH_SMALL=1 (tiny CPU-friendly sizes), BENCH_BATCH, BENCH_CODES.
+Flags: --stages (per-stage wall breakdown with forced device sync, to
+stderr), BENCH_TRACE=<dir> (jax.profiler trace of one timed run).
 """
 from __future__ import annotations
 
@@ -74,15 +76,22 @@ def main():
 
     import jax.random as jrandom
 
-    def run(seed):
+    def run(seed, timings=None):
         outs = eng.synthesize_batch(texts, wavs, rng=jrandom.PRNGKey(seed),
-                                    force_full=True)
+                                    force_full=True, timings=timings)
         return sum(len(w) for w in outs) / sr
 
     t0 = time.perf_counter()
     audio_s = run(0)  # compile + first run
     log(f"bench: warmup (compile) {time.perf_counter() - t0:.1f}s, "
         f"audio={audio_s:.1f}s")
+
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        run(99)
+        jax.profiler.stop_trace()
+        log(f"bench: profiler trace written to {trace_dir}")
 
     times = []
     for i in range(2):
@@ -91,6 +100,18 @@ def main():
         times.append(time.perf_counter() - t0)
         log(f"bench: run {i}: wall={times[-1]:.2f}s audio={audio_s:.1f}s "
             f"rtf={audio_s / times[-1]:.2f}")
+
+    if "--stages" in sys.argv:
+        # per-stage walls with forced sync (stage sums exceed the pipelined
+        # end-to-end wall slightly: sync barriers serialize the stages)
+        timings = {}
+        t0 = time.perf_counter()
+        run(3, timings=timings)
+        total = time.perf_counter() - t0
+        log("bench: stage breakdown (synced):")
+        for k, v in timings.items():
+            log(f"bench:   {k:10s} {v:6.3f}s ({100 * v / total:4.1f}%)")
+        log(f"bench:   {'total':10s} {total:6.3f}s")
 
     wall = min(times)
     rtf = audio_s / wall

@@ -196,21 +196,37 @@ def extract_vq(jsonl_path: str, cfg, variables, batch_frames: int = 4096,
         codes, _ = model.apply(variables, mel, method=SynthesizerTrn.encode)
         return codes
 
-    n = 0
+    # pad mel frames up to a small bucket grid before the jitted encoder:
+    # one compile per bucket instead of one per distinct file length
+    # (20-60 s per compile on TPU); codes past the true length are trimmed.
+    bucket_step = 256  # frames (~2.7 s); max 30 s audio -> <=11 buckets
+
+    n = skipped = 0
     with open(jsonl_path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
-            row = json.loads(line)
-            wav = read_wav(row["path"], cfg.data.sampling_rate)
-            n_frames = len(wav) // cfg.data.hop_length // 4 * 4
-            if n_frames < 4:
-                continue
-            pad = (-n_frames) % 4
-            mel = frontend.mel_spectrogram(jnp.asarray(wav)[None])
-            mel = mel[:, : n_frames]
-            codes = np.asarray(encode(mel))[0]
-            np.save(row["path"] + suffix, codes.astype(np.int32))
-            n += 1
+            # per-row fault tolerance, like the vad/asr phases (reference
+            # swallows per-item errors too, asr_process.py:44-46)
+            try:
+                row = json.loads(line)
+                wav = read_wav(row["path"], cfg.data.sampling_rate)
+                if wav is None:
+                    raise IOError(f"unreadable wav: {row.get('path')}")
+                n_frames = len(wav) // cfg.data.hop_length // 4 * 4
+                if n_frames < 4:
+                    continue
+                bucket = -(-n_frames // bucket_step) * bucket_step
+                mel = frontend.mel_spectrogram(jnp.asarray(wav)[None])
+                mel = jnp.pad(mel[:, :n_frames],
+                              ((0, 0), (0, bucket - n_frames), (0, 0)))
+                codes = np.asarray(encode(mel))[0][: n_frames // 4]
+                np.save(row["path"] + suffix, codes.astype(np.int32))
+                n += 1
+            except Exception as e:  # noqa: BLE001 — corpus runs must survive bad rows
+                skipped += 1
+                print(f"extract_vq: skipping row ({e})")
+    if skipped:
+        print(f"extract_vq: {skipped} rows skipped, {n} written")
     return n

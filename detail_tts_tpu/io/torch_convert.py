@@ -136,8 +136,15 @@ def _diff_attn(rest: str, base: str) -> Optional[Tuple[str, Callable]]:
     return None
 
 
-def translate(name: str) -> Optional[Tuple[str, Callable]]:
-    """Reference state-dict name -> ('params/...' path, transform) or None."""
+def translate(name: str, diffusion_layers: int = 10
+              ) -> Optional[Tuple[str, Callable]]:
+    """Reference state-dict name -> ('params/...' path, transform) or None.
+
+    ``diffusion_layers``: the checkpoint's ``diffusion.num_layers`` — the
+    reference appends 3 plain ResBlocks AFTER that many DiffusionLayers in
+    one ``layers`` list (diff_model.py:202-203), so trailing-block indices
+    are relative to it.
+    """
     for pre in IGNORED:
         if name.startswith(pre):
             return None
@@ -331,7 +338,8 @@ def translate(name: str) -> Optional[Tuple[str, Callable]]:
             return _diff_resblock(rest[7:],
                                   f"params/diffusion/layer_{idx}/resblk")
         # plain trailing ResBlocks (indices >= num DiffusionLayers)
-        return _diff_resblock(rest, f"params/diffusion/layer_res_{idx - 10}")
+        return _diff_resblock(
+            rest, f"params/diffusion/layer_res_{idx - diffusion_layers}")
 
     return None
 
@@ -359,7 +367,8 @@ def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_state_dict(sd: Dict[str, Any], template: Dict[str, Any]
+def convert_state_dict(sd: Dict[str, Any], template: Dict[str, Any],
+                       diffusion_layers: int = 10
                        ) -> Tuple[Dict[str, Any], Dict[str, list]]:
     """torch state dict -> variables matching ``template``'s structure.
 
@@ -372,7 +381,7 @@ def convert_state_dict(sd: Dict[str, Any], template: Dict[str, Any]
     converted: Dict[str, np.ndarray] = {}
     unmapped = []
     for name, value in sd.items():
-        tr = translate(name)
+        tr = translate(name, diffusion_layers=diffusion_layers)
         if tr is None:
             if not any(name.startswith(p) for p in IGNORED):
                 unmapped.append(name)
@@ -418,8 +427,16 @@ def _k(k) -> str:
     return str(k)
 
 
-def load_torch_checkpoint(path: str, cfg, save_msgpack: Optional[str] = None):
-    """Load a reference ``model-*.pt`` and return serving variables."""
+def load_torch_checkpoint(path: str, cfg, save_msgpack: Optional[str] = None,
+                          allow_partial: bool = False):
+    """Load a reference ``model-*.pt`` and return serving variables.
+
+    Fails hard when template leaves received no checkpoint value unless
+    ``allow_partial=True`` (silent random-init subtrees must be opted into —
+    the reference's shape-tolerant loader at train.py:163-168 is deliberately
+    NOT reproduced here; staged partial restore lives in
+    train/checkpoint.py::restore_variables with an explicit skip report).
+    """
     import jax
     import torch
 
@@ -433,13 +450,18 @@ def load_torch_checkpoint(path: str, cfg, save_msgpack: Optional[str] = None):
             break
     model = SynthesizerTrn(cfg)
     template = init_variables(model, cfg, jax.random.PRNGKey(0))
-    variables, report = convert_state_dict(data, template)
+    variables, report = convert_state_dict(
+        data, template, diffusion_layers=cfg.diffusion.num_layers)
     if report["unmapped"]:
         print(f"converter: {len(report['unmapped'])} unmapped entries "
               f"(first: {report['unmapped'][:5]})")
     if report["missing"]:
-        print(f"converter: {len(report['missing'])} template leaves kept "
-              f"initialised values (first: {report['missing'][:5]})")
+        msg = (f"converter: {len(report['missing'])} template leaves got no "
+               f"checkpoint value (first: {report['missing'][:5]})")
+        if not allow_partial:
+            raise ValueError(msg + " — pass allow_partial=True to keep "
+                             "initialised values for them")
+        print(msg + " — kept initialised values (allow_partial)")
     if save_msgpack:
         from detail_tts_tpu.train.checkpoint import save_variables
 
@@ -457,12 +479,16 @@ def main(argv=None):
     p.add_argument("torch_ckpt")
     p.add_argument("out_msgpack")
     p.add_argument("--config", default=None)
+    p.add_argument("--allow-partial", action="store_true",
+                   help="keep initialised values for template leaves absent "
+                        "from the checkpoint (staged/partial models)")
     args = p.parse_args(argv)
 
     from detail_tts_tpu.config import Config
 
     cfg = Config.from_json(args.config) if args.config else Config()
-    load_torch_checkpoint(args.torch_ckpt, cfg, save_msgpack=args.out_msgpack)
+    load_torch_checkpoint(args.torch_ckpt, cfg, save_msgpack=args.out_msgpack,
+                          allow_partial=args.allow_partial)
     print(f"wrote {args.out_msgpack}")
 
 

@@ -33,22 +33,28 @@ def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
 
 
 def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
-    """HF TopPLogitsWarper (min_tokens_to_keep=1); fp32 softmax."""
+    """HF TopPLogitsWarper (min_tokens_to_keep=1), exact scatter semantics.
+
+    Matches transformers' warper element-wise, including tied logits: the
+    removal flag is computed per *sorted position* and scattered back through
+    the (stable) sort permutation, so among equal logits at the nucleus
+    boundary only the sort-order-earlier copies are removed — not the whole
+    tie group.  fp32 softmax.
+    """
     if top_p >= 1.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    order = jnp.argsort(logits, axis=-1)  # ascending, stable
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
     probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     remove_sorted = cum <= (1.0 - top_p)
     # never remove the final (highest-prob) token
     remove_sorted = remove_sorted.at[..., -1].set(False)
-    # Map back: a logit is removed iff its value is <= the largest removed
-    # sorted logit.  Ties share fate, matching scatter-by-sort-order closely
-    # enough for sampling (exact for distinct logits).
-    threshold = jnp.max(
-        jnp.where(remove_sorted, sorted_logits, -jnp.inf), axis=-1, keepdims=True
-    )
-    return jnp.where(logits <= threshold, -jnp.inf, logits)
+    # scatter back: remove[..., order[..., k]] = remove_sorted[..., k]
+    remove = jnp.zeros(logits.shape, dtype=bool)
+    remove = jnp.put_along_axis(remove, order, remove_sorted, axis=-1,
+                                inplace=False)
+    return jnp.where(remove, -jnp.inf, logits)
 
 
 def apply_typical(logits: jax.Array, mass: float = 0.9) -> jax.Array:

@@ -12,10 +12,12 @@ at vqvae/model_24k.py:774-876) as four fused, statically-shaped stages:
                     calls per step, utils/diffusion.py:313-315)
 4. ``vocode``     — flow-VAE prior sample -> reverse flow -> HiFi-GAN
 
-Recompilation control: prompt mels are *cropped down* to a bucket (style
-reference — exact math on the cropped prompt), text and code sequences are
-*padded up* to buckets (in-distribution: training pads both with stop
-tokens).  Each (bucket-combo) compiles once and is cached by jax.jit.
+Recompilation control: prompt mels are *padded up* to a bucket with true
+per-item lengths (masked style encoders are padding-invariant; the unmasked
+diffusion conditioning runs per item at its own bucket), text and code
+sequences are *padded up* to buckets (in-distribution: training pads both
+with stop tokens).  Each (bucket-combo) compiles once and is cached by
+jax.jit.
 
 Diffusion-free path ``synthesize_vq`` mirrors ``infer_gpt``
 (model_24k.py:811-846); ``vq_roundtrip`` mirrors ``infer_vqvae`` (:864).
@@ -73,14 +75,6 @@ def _bucket_up(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     return buckets[-1]
-
-
-def _bucket_down(n: int, buckets: Sequence[int]) -> int:
-    chosen = buckets[0]
-    for b in buckets:
-        if b <= n:
-            chosen = b
-    return chosen
 
 
 class TTSEngine:
@@ -154,12 +148,17 @@ class TTSEngine:
                 method=lambda m, *a, **k: m.gpt(*a, **k))
 
         @jax.jit
-        def _diffuse(variables, latents, refer_mel, rng):
-            """latents (B,Tc,768) + prompt mel -> denormalized mel (B,4Tc,128)."""
+        def _diff_cond(variables, refer_mel):
+            """Prompt mel (B', L, 128) -> conditioning latent (B', 2*mc)."""
+            return model.apply(variables, refer_mel.astype(cdt_c),
+                               method=SynthesizerTrn.diffusion_conditioning)
+
+        @jax.jit
+        def _diffuse(variables, latents, cond_latent, rng):
+            """latents (B,Tc,768) + precomputed diffusion conditioning
+            (B, 2*mc) -> denormalized mel (B,4Tc,128)."""
             out_len = latents.shape[1] * FRAMES_PER_CODE
-            cond_latent = model.apply(
-                variables, refer_mel.astype(cdt_c),
-                method=SynthesizerTrn.diffusion_conditioning)
+            cond_latent = cond_latent.astype(cdt_c)
             code_emb = model.apply(
                 variables, latents.astype(cdt_c), cond_latent,
                 method=SynthesizerTrn.diffusion_code_embedding)
@@ -244,6 +243,7 @@ class TTSEngine:
 
         self._generate = _generate
         self._latents = _latents
+        self._diff_cond = _diff_cond
         self._diffuse = _diffuse
         self._vocode = _vocode
         self._codes_to_mel = _codes_to_mel
@@ -264,13 +264,24 @@ class TTSEngine:
         return jnp.asarray(out), lengths
 
     def prepare_prompt(self, wavs: Sequence[np.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """waveforms (24 kHz float) -> prompt mel cropped DOWN to one bucket.
+        """waveforms (24 kHz float) -> prompt mel padded UP to a bucket + true
+        per-item lengths.
+
+        Each item's effective prompt depends only on itself: items longer
+        than the largest bucket are cropped to it, shorter ones keep their
+        true length and are zero-padded (zero is the training-time pad value,
+        reference collate dataset_24k.py:258-272).  The masked consumers
+        (ref_enc/vq_ref_enc/GPT conditioning) are exactly padding-invariant;
+        the unmasked diffusion conditioning is computed per item at its own
+        bucket (``diffusion_cond``), so no request's audio depends on its
+        batchmates.
 
         Mel extraction runs on host CPU with wavs zero-padded to a 0.5 s grid
         (bounds compile count; padded trailing frames are cropped away).
         """
         cpu = jax.local_devices(backend="cpu")[0]
         chunk = self.cfg.data.sampling_rate // 2
+        cap = self.ecfg.prompt_buckets[-1]
         mels = []
         with jax.default_device(cpu):
             for w in wavs:
@@ -279,13 +290,32 @@ class TTSEngine:
                 pad = (-len(w)) % chunk
                 w = np.pad(w, (0, pad))
                 m = np.asarray(self.frontend.mel_spectrogram(jnp.asarray(w)[None])[0])
-                mels.append(m[:n_true])
-        n_frames = min(m.shape[0] for m in mels)
-        bucket = _bucket_down(n_frames, self.ecfg.prompt_buckets)
-        bucket = min(bucket, n_frames)
-        out = np.stack([m[:bucket] for m in mels])
-        lengths = np.full((len(wavs),), bucket, np.int32)
+                mels.append(m[: min(n_true, cap)])
+        lengths = np.array([m.shape[0] for m in mels], np.int32)
+        width = _bucket_up(int(lengths.max()), self.ecfg.prompt_buckets)
+        out = np.zeros((len(wavs), width, mels[0].shape[1]), np.float32)
+        for i, m in enumerate(mels):
+            out[i, : m.shape[0]] = m
         return jnp.asarray(out), jnp.asarray(lengths)
+
+    def diffusion_cond(self, refer_mel: jnp.ndarray, refer_len: jnp.ndarray
+                       ) -> jnp.ndarray:
+        """Per-item diffusion conditioning latents (B, 2*mc).
+
+        The reference's contextual embedder is unmasked (diff_model.py:221-229)
+        and trains on zero-padded batch mels (model_24k.py:683), so trailing
+        zeros are in-distribution — but their amount must not depend on the
+        batch: each item is evaluated alone at its OWN bucket width
+        (<= len(prompt_buckets) compile keys for the tiny conditioning net).
+        """
+        t_max = refer_mel.shape[1]
+        lens = np.asarray(refer_len)
+        conds = []
+        for i in range(refer_mel.shape[0]):
+            lb = min(_bucket_up(int(lens[i]), self.ecfg.prompt_buckets), t_max)
+            conds.append(self._diff_cond(self.variables,
+                                         refer_mel[i : i + 1, :lb]))
+        return jnp.concatenate(conds, axis=0)
 
     def _shard(self, *arrays):
         """Shard request arrays over the mesh's data axis (no-op w/o mesh)."""
@@ -313,7 +343,9 @@ class TTSEngine:
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """Bucket + stop-fill on device (codes never round-trip the host;
         only the tiny ``eff`` vector crossed for bucket selection)."""
-        bucket = _bucket_up(int(eff.max()), self.ecfg.code_buckets)
+        # clamp: buckets may exceed the decoded width (max_generate_length)
+        bucket = min(_bucket_up(int(eff.max()), self.ecfg.code_buckets),
+                     codes.shape[1])
         codes_b, wav_len = self._pad_codes_dev(
             codes, jnp.asarray(eff, jnp.int32), bucket, vq_safe)
         return codes_b, wav_len, bucket
@@ -321,27 +353,60 @@ class TTSEngine:
     def synthesize_batch(self, texts: Sequence[str],
                          prompt_wavs: Sequence[np.ndarray],
                          rng: Optional[jax.Array] = None,
-                         force_full: bool = False) -> List[np.ndarray]:
-        """Full pipeline (reference ``infer``, model_24k.py:774-810)."""
+                         force_full: bool = False,
+                         timings: Optional[Dict[str, float]] = None
+                         ) -> List[np.ndarray]:
+        """Full pipeline (reference ``infer``, model_24k.py:774-810).
+
+        ``timings``: optional dict — when given, each stage is synced
+        (``jax.device_get`` of one element; ``block_until_ready`` can return
+        early over the axon tunnel) and its wall time accumulated under its
+        name.  This is the shipped per-stage profiler (``bench.py --stages``).
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+
+        def tick(name, out=None):
+            nonlocal t0
+            if timings is None:
+                return
+            if out is not None:
+                jax.device_get(out.ravel()[0])  # force real completion
+            now = _time.perf_counter()
+            timings[name] = timings.get(name, 0.0) + (now - t0)
+            t0 = now
+
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         g_rng, d_rng, v_rng = jax.random.split(rng, 3)
         text, _ = self.prepare_text(texts)
         refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
-        text, refer_mel, refer_len = self._shard(text, refer_mel, refer_len)
+        tick("prepare", refer_mel)
+        diff_cond = self.diffusion_cond(refer_mel, refer_len)
+        tick("diff_cond", diff_cond)
+        text, refer_mel, refer_len, diff_cond = self._shard(
+            text, refer_mel, refer_len, diff_cond)
 
         codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
                                          force_full=force_full)
+        tick("generate", codes)
         codes_b, wav_len, bucket = self._pad_codes(codes, eff)
 
         latents = self._latents(self.variables, refer_mel, refer_len, text,
                                 codes_b, wav_len)
-        mel = self._diffuse(self.variables, latents, refer_mel, d_rng)
+        tick("latents", latents)
+        mel = self._diffuse(self.variables, latents, diff_cond, d_rng)
+        tick("diffuse", mel)
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
         wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
+        tick("vocode", wav)
 
         wav = np.asarray(wav[..., 0])
         hop_per_code = self._gpt.mel_length_compression
-        return [wav[i, : int(eff[i]) * hop_per_code] for i in range(len(texts))]
+        outs = [wav[i, : int(eff[i]) * hop_per_code]
+                for i in range(len(texts))]
+        tick("host")
+        return outs
 
     def synthesize(self, text: str, prompt_wav: np.ndarray,
                    rng: Optional[jax.Array] = None) -> np.ndarray:
@@ -366,7 +431,8 @@ class TTSEngine:
         else:
             latents = self._latents(self.variables, refer_mel, refer_len,
                                     text_ids, codes_b, wav_len)
-            mel = self._diffuse(self.variables, latents, refer_mel, d_rng)
+            diff_cond = self.diffusion_cond(refer_mel, refer_len)
+            mel = self._diffuse(self.variables, latents, diff_cond, d_rng)
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
         wav = np.asarray(self._vocode(self.variables, mel, mel_lengths,
                                       v_rng)[..., 0])
@@ -406,8 +472,11 @@ class TTSEngine:
 
     def warmup(self, batch_size: int = 1, text_bucket: Optional[int] = None,
                prompt_bucket: Optional[int] = None,
-               code_bucket: Optional[int] = None) -> None:
-        """Pre-compile one bucket combination."""
+               code_bucket: Optional[int] = None,
+               force_full: bool = False) -> None:
+        """Pre-compile one bucket combination with the PRODUCTION static args
+        (max_len=ecfg.max_generate_length, force_full as served) so the first
+        real request hits the jit cache."""
         tb = text_bucket or self.ecfg.text_buckets[0]
         pb = prompt_bucket or self.ecfg.prompt_buckets[0]
         cb = code_bucket or self.ecfg.code_buckets[0]
@@ -416,12 +485,14 @@ class TTSEngine:
         refer = jnp.full((batch_size, pb, self.cfg.data.n_mel_channels), -6.0)
         refer_len = jnp.full((batch_size,), pb, jnp.int32)
         codes, lengths = self._generate(self.variables, refer, refer_len, text,
-                                        rng, cb, True)
-        eff = np.full((batch_size,), cb, np.int32)
+                                        rng, self.ecfg.max_generate_length,
+                                        force_full)
+        eff = np.full((batch_size,), min(cb, int(codes.shape[1])), np.int32)
         codes_b, wav_len, _ = self._pad_codes(codes, eff)
         latents = self._latents(self.variables, refer, refer_len, text,
                                 codes_b, wav_len)
-        mel = self._diffuse(self.variables, latents, refer, rng)
+        diff_cond = self.diffusion_cond(refer, refer_len)
+        mel = self._diffuse(self.variables, latents, diff_cond, rng)
         self._vocode(self.variables, mel,
                      jnp.asarray(eff * FRAMES_PER_CODE), rng)
 

@@ -38,8 +38,32 @@ def _is_host0() -> bool:
     return jax.process_index() == 0
 
 
+def mel_to_image(mel: np.ndarray) -> np.ndarray:
+    """(T, n_mels) log-mel -> (3, n_mels, T) uint8 spectrogram image.
+
+    Matplotlib-free equivalent of the reference's
+    ``plot_spectrogram_to_numpy`` (log_utils.py:41-55): per-image min/max
+    normalisation mapped through a compact viridis ramp, low bins at the
+    bottom (origin='lower').
+    """
+    m = np.asarray(mel, np.float32).T  # (n_mels, T)
+    lo, hi = float(m.min()), float(m.max())
+    x = (m - lo) / max(hi - lo, 1e-6)
+    ramp = np.array([[68, 1, 84], [59, 82, 139], [33, 145, 140],
+                     [94, 201, 98], [253, 231, 37]], np.float32)  # viridis
+    idx = x * (len(ramp) - 1)
+    i0 = np.clip(idx.astype(np.int32), 0, len(ramp) - 2)
+    frac = (idx - i0)[..., None]
+    rgb = ramp[i0] * (1 - frac) + ramp[i0 + 1] * frac
+    return np.flipud(rgb).transpose(2, 0, 1).astype(np.uint8)
+
+
 class MetricsLogger:
-    """jsonl + optional TensorBoard scalars."""
+    """jsonl + optional TensorBoard (scalars, mel images, audio).
+
+    Media mirrors the reference's TB ``summarize`` usage (log_utils.py:31-39,
+    train.py:416-439): gt/generated mel figures and gt/pred audio clips.
+    """
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
@@ -61,6 +85,19 @@ class MetricsLogger:
             for k, v in rec.items():
                 if k != "step":
                     self.tb.add_scalar(k, v, step)
+
+    def log_media(self, step: int,
+                  mels: Optional[Dict[str, np.ndarray]] = None,
+                  audios: Optional[Dict[str, np.ndarray]] = None,
+                  sr: int = 24000) -> None:
+        """mels: {tag: (T, n_mels) log-mel}; audios: {tag: (N,) float wav}."""
+        if self.tb is None:
+            return
+        for tag, mel in (mels or {}).items():
+            self.tb.add_image(tag, mel_to_image(mel), step)
+        for tag, wav in (audios or {}).items():
+            wav = np.clip(np.asarray(wav, np.float32).reshape(-1), -1, 1)
+            self.tb.add_audio(tag, wav[None], step, sample_rate=sr)
 
     def close(self) -> None:
         self._f.close()
@@ -172,10 +209,28 @@ class Trainer:
                     variables, jnp.asarray(first("raw_mel")),
                     jnp.asarray(first("raw_spec_length")), rng,
                     method=SynthesizerTrn.infer_flowvae)
+            gen_wav = np.asarray(wav)[0, :, 0]
+            gt_wav = first("raw_wav").reshape(-1)
             save_wav(os.path.join(self.logs_folder, f"sample-{milestone}.wav"),
-                     np.asarray(wav)[0, :, 0], sr)
+                     gen_wav, sr)
             save_wav(os.path.join(self.logs_folder, f"gt-{milestone}.wav"),
-                     first("raw_wav").reshape(-1), sr)
+                     gt_wav, sr)
+            if self.metrics is not None:
+                # TB media like the reference summarize (train.py:416-439)
+                from detail_tts_tpu.audio.mel import MelFrontend
+
+                d = self.cfg.data
+                fe = MelFrontend(d.sampling_rate, d.filter_length,
+                                 d.hop_length, d.win_length, d.n_mel_channels,
+                                 d.mel_fmin, d.mel_fmax)
+                gen_mel = np.asarray(fe.mel_spectrogram(
+                    jnp.asarray(gen_wav)[None])[0])
+                self.metrics.log_media(
+                    step,
+                    mels={"mel/gt": first("raw_mel")[0],
+                          "mel/gen": gen_mel},
+                    audios={"audio/gt": gt_wav, "audio/gen": gen_wav},
+                    sr=sr)
         except Exception as e:  # eval must never kill training
             print(f"eval dump failed: {e}")
 

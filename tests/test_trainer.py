@@ -123,3 +123,26 @@ def test_trainer_synth_eval_gpt(tmp_path):
     tr.train(max_steps=1, log_every=1)
     tr.data_iter.close()
     assert os.path.exists(str(tmp_path / "logs" / "sample-0.wav"))
+
+
+def test_metrics_logger_media(tmp_path):
+    """TB media parity (reference summarize, log_utils.py:31-64): mel images
+    + audio reach the event file; mel_to_image output is well-formed."""
+    from detail_tts_tpu.train.trainer import MetricsLogger, mel_to_image
+
+    mel = np.linspace(-11.5, 2.7, 40 * 8, dtype=np.float32).reshape(40, 8)
+    img = mel_to_image(mel)
+    assert img.shape == (3, 8, 40) and img.dtype == np.uint8
+    assert img.max() > img.min()  # non-degenerate colormap
+
+    logdir = str(tmp_path / "tb")
+    logger = MetricsLogger(logdir)
+    logger.log(1, {"loss": 1.0})
+    logger.log_media(1, mels={"mel/gt": mel},
+                     audios={"audio/gt": np.zeros(2400, np.float32)}, sr=24000)
+    logger.close()
+    if logger.tb is not None:
+        events = [f for f in os.listdir(logdir) if "tfevents" in f]
+        assert events, "no TB event file written"
+        assert sum(os.path.getsize(os.path.join(logdir, f))
+                   for f in events) > 2000  # image+audio payload present
