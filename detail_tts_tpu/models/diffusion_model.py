@@ -161,16 +161,19 @@ class DiffusionTts(nn.Module):
         return self.out_conv(h)
 
     def attention_biases(self, length: int):
-        """Per-block T5 biases for sequence ``length`` (H, L, L each).
+        """Per-block T5 biases for sequence ``length`` (H, L, L each),
+        LOG2-DOMAIN (pre-multiplied by log2(e) for the exp2 softmax kernel).
 
         Order: conditioning_timestep_integrator blocks, then trunk
         DiffusionLayers.  These are timestep-independent — precompute once
         per sampling call and pass via ``precomputed_biases`` so they are
-        hoisted out of the 50-step sampling scan.
+        hoisted out of the 50-step sampling scan (the log2 factor rides
+        along for free instead of costing an (H,T,T) multiply per step).
         """
+        log2e = 1.4426950408889634
         blocks = list(self.conditioning_timestep_integrator) + [
             lyr for lyr in self.layers if isinstance(lyr, DiffusionLayer)]
-        return [blk.attn.bias_values(length) for blk in blocks]
+        return [blk.attn.bias_values(length) * log2e for blk in blocks]
 
     # --------------------------------------------------------------- forward
 

@@ -142,13 +142,52 @@ def group_norm_groups(channels: int) -> int:
     return groups
 
 
+class _GroupNormCore(nn.Module):
+    """Fused-apply GroupNorm: fp32 statistics, input-dtype big-tensor math.
+
+    The statistics reduce in fp32 (the point of the reference's GroupNorm32,
+    diff_util.py:113-115) but the normalization is algebraically folded into
+    ONE per-(batch, channel) multiply-add applied in the input dtype:
+    ``y = x * (inv*scale) + (bias - mean*inv*scale)``.  A bf16 activation is
+    therefore read once and written once in bf16 — no fp32 copy of the
+    activation is ever materialized and no convert kernels surround the norm
+    (they cost ~0.6 s/run in the round-1 diffusion trace).
+    """
+
+    groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = self.groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        assert x.ndim == 3, "GroupNorm32 expects (B, T, C)"
+        xg = x.reshape(x.shape[0], x.shape[1], g, c // g)  # (B, T, G, C/G)
+        # fp32-accumulated sibling reductions over the same operand: XLA
+        # multi-output-fuses them into ONE pass over the activation (the
+        # two-pass mean-then-centred-var form costs an extra full read).
+        # E[x^2]-m^2 in fp32 is safe at activation scales (|x| ~ 1e1):
+        # worst-case cancellation leaves ~4 significant digits of variance.
+        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # (B, G)
+        mean_sq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)  # (B, G)
+
+        mul = jnp.repeat(inv, c // g, axis=-1) * scale[None]           # (B, C)
+        add = bias[None] - jnp.repeat(mean * inv, c // g, axis=-1) * scale[None]
+        return (x * mul.astype(x.dtype)[:, None, :]
+                + add.astype(x.dtype)[:, None, :])
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with fp32 statistics (diff_util.py:113-115), NTC layout.
 
-    Hand-rolled (instead of nn.GroupNorm on an fp32 cast) so a bf16 input
-    never materializes an fp32 copy: the reductions accumulate in fp32, the
-    normalization stays in the input dtype.  Param names match nn.GroupNorm
-    (scale/bias under GroupNorm_0) for checkpoint compatibility.
+    Param names match nn.GroupNorm (scale/bias under GroupNorm_0) for
+    checkpoint compatibility; the apply is the fused input-dtype form
+    (:class:`_GroupNormCore`).
     """
 
     channels: int
@@ -158,10 +197,8 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         g = self.groups if self.groups is not None else group_norm_groups(self.channels)
-        # flax computes the statistics in fp32 internally; leaving dtype
-        # unset keeps the normalized output in the input dtype without
-        # materializing an fp32 copy of the activations.
-        return nn.GroupNorm(num_groups=g, epsilon=self.epsilon)(x)
+        return _GroupNormCore(groups=g, epsilon=self.epsilon,
+                              name="GroupNorm_0")(x)
 
 
 class Dense(nn.Module):

@@ -90,7 +90,12 @@ class AttentionBlock(nn.Module):
                  bias: Optional[jax.Array] = None,
                  use_pallas: Optional[bool] = None) -> jax.Array:
         """x: (B, T, C). mask: optional (B, T) multiplicative post-softmax
-        mask (the reference multiplies after softmax, diff_util.py:163-166)."""
+        mask (the reference multiplies after softmax, diff_util.py:163-166).
+
+        A precomputed ``bias`` must be LOG2-DOMAIN (pre-multiplied by
+        log2(e), as :meth:`DiffusionTts.attention_biases` returns it): the
+        pallas kernel runs an exp2 softmax and the hoist bakes the factor in
+        once per sampling call instead of once per step."""
         b, t, c = x.shape
         h = self.num_heads
         ch = c // h
@@ -135,7 +140,8 @@ class AttentionBlock(nn.Module):
                     + wbp.reshape(-1)
                 a = attention_packed(qkv, bias.astype(y.dtype), heads=h,
                                      sm_scale=1.0 / math.sqrt(ch),
-                                     block_q=blk_q, interpret=interp)
+                                     block_q=blk_q, interpret=interp,
+                                     bias_log2=precomputed)
                 pwp = jnp.pad(pw[0].reshape(h, ch, c),
                               ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
                 return x + (a @ pwp.astype(a.dtype) + pb.astype(a.dtype))
@@ -158,7 +164,8 @@ class AttentionBlock(nn.Module):
             a = row_block_attention(qkv[0], qkv[1], qkv[2],
                                     bias.astype(qkv.dtype),
                                     sm_scale=1.0 / math.sqrt(ch),
-                                    block_q=blk_q, interpret=interp)
+                                    block_q=blk_q, interpret=interp,
+                                    bias_log2=precomputed)
             a = a[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, h * dp)
             pwp = jnp.pad(pw[0].reshape(h, ch, c),
                           ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
@@ -170,6 +177,9 @@ class AttentionBlock(nn.Module):
             scale = 1.0 / math.sqrt(math.sqrt(ch))
             logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
             if bias is not None:
+                if precomputed:  # log2-domain -> natural
+                    bias = bias * jnp.asarray(1.0 / 1.4426950408889634,
+                                              bias.dtype)
                 logits = logits + bias[None]
             w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
             if mask is not None:

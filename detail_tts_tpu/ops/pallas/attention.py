@@ -15,6 +15,13 @@ tile is fetched once and revisited for every batch element.
 
 Padded key columns are masked by writing -1e9 into the padded bias columns
 (host-side, in :func:`pad_bias`), so the kernel itself is mask-free.
+
+Softmax runs in BASE 2 (``exp2``): folding log2(e) into the scale and the
+(hoisted, call-invariant) bias is ~10% faster than ``exp`` on the VPU at
+serving shapes (scripts/ab_attention_exp2.py: 2.96 vs 3.35 ms/call).  Pass
+``bias_log2=True`` when the bias already carries the log2(e) factor (the
+serving hoist does this once per sampling call); otherwise the wrapper
+scales it.
 """
 from __future__ import annotations
 
@@ -27,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+LOG2E = 1.4426950408889634  # log2(e): natural-domain logits -> exp2 domain
 
 
 def _round_up(x: int, m: int) -> int:
@@ -49,11 +57,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
     v = v_ref[0, 0]                            # (T, D)
     bias = bias_ref[0].astype(jnp.float32)     # (BQ, T)
 
+    # sm_scale and bias arrive in the log2 domain: exp2 beats exp on the VPU
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale + bias
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -68,15 +77,20 @@ def pad_bias(bias: jax.Array, t_real: int, t_pad: int) -> jax.Array:
     return jax.lax.dynamic_update_slice(out, bias, (0, 0, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
+                                             "interpret", "bias_log2"))
 def row_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                         bias: jax.Array, *, sm_scale: float,
                         block_q: int = 128,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        bias_log2: bool = False) -> jax.Array:
     """Attention with an additive per-head bias shared over the batch.
 
     q, k, v: (B, H, T, D); bias: (H, T, T) (already scaled; padded key
-    columns, if any, must carry -1e9).  Returns (B, H, T, D) in q's dtype.
+    columns, if any, must carry -1e9).  ``sm_scale`` is the NATURAL-domain
+    scale; ``bias_log2=True`` declares the bias pre-multiplied by log2(e)
+    (hoisted serving path), else it is scaled here.  Returns (B, H, T, D)
+    in q's dtype.
 
     T and D must satisfy the wrapper's padding (use :func:`attention` for
     arbitrary shapes).
@@ -84,6 +98,9 @@ def row_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, h, t, d = q.shape
     assert t % block_q == 0 and d % LANE in (0, 64), (t, d)
     n_q = t // block_q
+    sm_scale = sm_scale * LOG2E
+    if not bias_log2:
+        bias = bias * jnp.asarray(LOG2E, bias.dtype)
 
     grid = (h, n_q, b)  # batch innermost: bias tile revisited, not re-fetched
     return pl.pallas_call(
@@ -104,7 +121,7 @@ def row_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
               *, sm_scale: float, block_q: int = 128,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False, bias_log2: bool = False) -> jax.Array:
     """Shape-safe wrapper: pads T to a block multiple and D to 64/128.
 
     q, k, v: (B, H, T, D); bias: (H, T, T) pre-scaled.  Padded key columns
@@ -120,7 +137,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
     bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
     out = row_block_attention(pad_qkv(q), pad_qkv(k), pad_qkv(v), bias_p,
                               sm_scale=sm_scale, block_q=block_q,
-                              interpret=interpret)
+                              interpret=interpret, bias_log2=bias_log2)
     return out[:, :, :t, :d]
 def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                         sm_scale: float):
@@ -129,11 +146,12 @@ def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     v = v_ref[0]                             # (T, Dp)
     bias = bias_ref[0].astype(jnp.float32)   # (BQ, T)
 
+    # log2-domain softmax, as in _attn_kernel
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale + bias
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -143,7 +161,8 @@ def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
 def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
                      sm_scale: float, block_q: int = 256,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     bias_log2: bool = False) -> jax.Array:
     """Fully layout-preserving attention on lane-padded packed projections.
 
     qkv_flat: (B, T, H * 3 * 128) — channel order [head][q|k|v][128-padded
@@ -159,6 +178,9 @@ def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
     b, t, hd = qkv_flat.shape
     d_pad = LANE
     assert hd == heads * 3 * d_pad, (hd, heads)
+    sm_scale = sm_scale * LOG2E
+    if not bias_log2:
+        bias = bias * jnp.asarray(LOG2E, bias.dtype)
     t_pad = _round_up(t, block_q)
     if t_pad != t:
         qkv_flat = jnp.pad(qkv_flat, ((0, 0), (0, t_pad - t), (0, 0)))

@@ -282,15 +282,23 @@ class TTSEngine:
         cpu = jax.local_devices(backend="cpu")[0]
         chunk = self.cfg.data.sampling_rate // 2
         cap = self.ecfg.prompt_buckets[-1]
-        mels = []
+        padded = []
+        for w in wavs:
+            w = np.asarray(w, np.float32)
+            n_true = w.shape[-1] // self.cfg.data.hop_length
+            padded.append((np.pad(w, (0, (-len(w)) % chunk)),
+                           min(n_true, cap)))
+        mels: List[Optional[np.ndarray]] = [None] * len(wavs)
         with jax.default_device(cpu):
-            for w in wavs:
-                w = np.asarray(w, np.float32)
-                n_true = w.shape[-1] // self.cfg.data.hop_length
-                pad = (-len(w)) % chunk
-                w = np.pad(w, (0, pad))
-                m = np.asarray(self.frontend.mel_spectrogram(jnp.asarray(w)[None])[0])
-                mels.append(m[: min(n_true, cap)])
+            # one batched STFT per distinct padded length (usually one)
+            for plen in sorted({p.shape[-1] for p, _ in padded}):
+                idx = [i for i, (p, _) in enumerate(padded)
+                       if p.shape[-1] == plen]
+                stack = np.stack([padded[i][0] for i in idx])
+                batch_m = np.asarray(self.frontend.mel_spectrogram(
+                    jnp.asarray(stack)))
+                for j, i in enumerate(idx):
+                    mels[i] = batch_m[j, : padded[i][1]]
         lengths = np.array([m.shape[0] for m in mels], np.int32)
         width = _bucket_up(int(lengths.max()), self.ecfg.prompt_buckets)
         out = np.zeros((len(wavs), width, mels[0].shape[1]), np.float32)
@@ -300,22 +308,31 @@ class TTSEngine:
 
     def diffusion_cond(self, refer_mel: jnp.ndarray, refer_len: jnp.ndarray
                        ) -> jnp.ndarray:
-        """Per-item diffusion conditioning latents (B, 2*mc).
+        """Per-item-deterministic diffusion conditioning latents (B, 2*mc).
 
         The reference's contextual embedder is unmasked (diff_model.py:221-229)
         and trains on zero-padded batch mels (model_24k.py:683), so trailing
         zeros are in-distribution — but their amount must not depend on the
-        batch: each item is evaluated alone at its OWN bucket width
-        (<= len(prompt_buckets) compile keys for the tiny conditioning net).
+        batch: each item is evaluated at its OWN bucket width.  Items sharing
+        a bucket run as one batched call (the conditioning net is per-sample,
+        so grouping only changes results by matmul tiling jitter ~1e-6); in
+        the common all-same-bucket case this is a single dispatch.
         """
         t_max = refer_mel.shape[1]
         lens = np.asarray(refer_len)
-        conds = []
-        for i in range(refer_mel.shape[0]):
-            lb = min(_bucket_up(int(lens[i]), self.ecfg.prompt_buckets), t_max)
-            conds.append(self._diff_cond(self.variables,
-                                         refer_mel[i : i + 1, :lb]))
-        return jnp.concatenate(conds, axis=0)
+        n = refer_mel.shape[0]
+        buckets = [min(_bucket_up(int(lens[i]), self.ecfg.prompt_buckets),
+                       t_max) for i in range(n)]
+        out = [None] * n
+        for lb in sorted(set(buckets)):
+            idx = [i for i in range(n) if buckets[i] == lb]
+            group = (refer_mel[:, :lb] if len(idx) == n
+                     else jnp.take(refer_mel[:, :lb],
+                                   jnp.asarray(idx, jnp.int32), axis=0))
+            cond = self._diff_cond(self.variables, group)
+            for j, i in enumerate(idx):
+                out[i] = cond[j : j + 1]
+        return out[0] if n == 1 else jnp.concatenate(out, axis=0)
 
     def _shard(self, *arrays):
         """Shard request arrays over the mesh's data axis (no-op w/o mesh)."""

@@ -42,16 +42,31 @@ def test_kernel_padded_shapes():
                                atol=2e-5, rtol=1e-4)
 
 
+def randomize(variables, seed=7, scale=0.3):
+    """Perturb ALL params (proj_out is zero-init, which would make
+    AttentionBlock an identity and the comparison vacuous)."""
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [l + scale * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+
+
+LOG2E = 1.4426950408889634
+
+
 def test_attention_block_precomputed_bias_matches_inline():
-    """AttentionBlock with hoisted bias == in-call bias (XLA path)."""
+    """AttentionBlock with hoisted (log2-domain) bias == in-call bias."""
     from detail_tts_tpu.nn.diff_blocks import AttentionBlock
 
     blk = AttentionBlock(channels=64, num_heads=4, relative_pos_embeddings=True)
     x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 40, 64)),
                     jnp.float32)
-    variables = blk.init(jax.random.PRNGKey(0), x)
+    variables = randomize(blk.init(jax.random.PRNGKey(0), x))
     y_inline = blk.apply(variables, x)
-    bias = blk.apply(variables, 40, method=AttentionBlock.bias_values)
+    assert float(jnp.abs(y_inline - x).max()) > 1e-3  # non-identity block
+    # precomputed biases are log2-domain (DiffusionTts.attention_biases)
+    bias = blk.apply(variables, 40, method=AttentionBlock.bias_values) * LOG2E
     y_pre = blk.apply(variables, x, None, bias)
     np.testing.assert_allclose(np.asarray(y_inline), np.asarray(y_pre),
-                               atol=1e-6)
+                               atol=1e-5)

@@ -96,3 +96,35 @@ def test_gan_step_flowvae():
     assert changed <= TARGET_TRAINABLE["flowvae"], changed
     d_changed = _changed_topkeys(state.d_params, new_state.d_params)
     assert d_changed, "discriminator did not update"
+
+
+def test_gan_step_all_joint_target():
+    """target='all' (model_24k.py:749-772): every loss component finite,
+    vq_state EMA advances, generator AND discriminator subtrees update."""
+    import dataclasses
+    cfg = small_test_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train,
+                                                             target="all"))
+    state, model, disc = make_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(model, disc, cfg, donate=False)
+    batch = random_batch(cfg, jax.random.PRNGKey(1), batch_size=2)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+
+    for k in ("loss_gen_all", "loss_disc_all", "loss_gen", "loss_fm",
+              "loss_mel", "loss_kl", "loss_commit", "loss_diff", "loss_gpt",
+              "grad_norm_g"):
+        assert np.isfinite(float(metrics[k])), k
+    # aux losses are real (non-zero) under 'all', unlike 'flowvae'
+    for k in ("loss_commit", "loss_diff", "loss_gpt"):
+        assert float(metrics[k]) != 0.0, k
+
+    changed = _changed_topkeys(state.params, new_state.params)
+    # joint target trains gpt + diffusion + vq + flow-vae/vocoder subtrees
+    for key in ("gpt", "diffusion", "vq_enc_conv0", "flow", "dec", "enc_q"):
+        assert key in changed, f"{key} did not update under target='all'"
+    d_changed = _changed_topkeys(state.d_params, new_state.d_params)
+    assert d_changed, "discriminator did not update"
+
+    old_embed = state.vq_state["quantizer"]["layer_0"]["codebook"]["embed"]
+    new_embed = new_state.vq_state["quantizer"]["layer_0"]["codebook"]["embed"]
+    assert float(jnp.max(jnp.abs(new_embed - old_embed))) > 0
