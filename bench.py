@@ -94,7 +94,7 @@ def main():
         log(f"bench: profiler trace written to {trace_dir}")
 
     times = []
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         audio_s = run(i + 1)
         times.append(time.perf_counter() - t0)

@@ -35,25 +35,33 @@ def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
 def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     """HF TopPLogitsWarper (min_tokens_to_keep=1), exact scatter semantics.
 
-    Matches transformers' warper element-wise, including tied logits: the
-    removal flag is computed per *sorted position* and scattered back through
-    the (stable) sort permutation, so among equal logits at the nucleus
-    boundary only the sort-order-earlier copies are removed — not the whole
-    tie group.  fp32 softmax.
+    Matches transformers' warper element-wise, including tied logits: among
+    equal logits at the nucleus boundary only the (stable-)sort-order-earlier
+    copies are removed — not the whole tie group.
+
+    Decode-loop hot path: removal in ascending sorted order is a PREFIX
+    (cumsum is monotone), so instead of scattering per-position flags back
+    through the permutation (gather+scatter over (B, V) cost ~0.4 ms/step
+    each on TPU) we sort once (value, index) and reconstruct the exact same
+    set arithmetically: drop iff value < boundary value, or value == boundary
+    value with original index before the boundary's original index (stable
+    sort orders ties by index).  fp32 softmax.
     """
     if top_p >= 1.0:
         return logits
-    order = jnp.argsort(logits, axis=-1)  # ascending, stable
-    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    v = logits.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), logits.shape)
+    sorted_logits, order = jax.lax.sort((logits, idx), dimension=-1,
+                                        is_stable=True, num_keys=1)
     probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    remove_sorted = cum <= (1.0 - top_p)
-    # never remove the final (highest-prob) token
-    remove_sorted = remove_sorted.at[..., -1].set(False)
-    # scatter back: remove[..., order[..., k]] = remove_sorted[..., k]
-    remove = jnp.zeros(logits.shape, dtype=bool)
-    remove = jnp.put_along_axis(remove, order, remove_sorted, axis=-1,
-                                inplace=False)
+    # first KEPT sorted position; clamp = never remove the final token
+    k = jnp.sum(cum <= (1.0 - top_p), axis=-1, keepdims=True)
+    k = jnp.minimum(k, v - 1)
+    boundary_val = jnp.take_along_axis(sorted_logits, k, axis=-1)  # (B, 1)
+    boundary_idx = jnp.take_along_axis(order, k, axis=-1)
+    remove = (logits < boundary_val) | ((logits == boundary_val)
+                                        & (idx < boundary_idx))
     return jnp.where(remove, -jnp.inf, logits)
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -64,6 +65,10 @@ class EngineConfig:
     text_buckets: Sequence[int] = (32, 64, 128, 256, 512, 800)
     prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 1600)
     code_buckets: Sequence[int] = (100, 200, 300, 400, 500, 600)
+    # Device-resident T5-bias cache: number of code buckets kept (each is
+    # 13 x (H, 4*bucket, 4*bucket) bf16, ~1 GB at bucket 400 — recomputing
+    # costs ~1 GB of HBM writes per request).
+    bias_cache_buckets: int = 2
     cache_dtype: Any = jnp.bfloat16
     # bf16 weights/activations with fp32 islands (norms/softmax/sampler math);
     # None keeps fp32 end to end.
@@ -108,7 +113,7 @@ class TTSEngine:
             variables = {"params": shard_tree(variables["params"], mesh),
                          "vq_state": replicate_tree(variables["vq_state"],
                                                     mesh)}
-        self.variables = variables
+        self._variables = variables
         self._cdt = cdt or jnp.float32
         self.frontend = MelFrontend(
             cfg.data.sampling_rate, cfg.data.filter_length,
@@ -153,21 +158,25 @@ class TTSEngine:
             return model.apply(variables, refer_mel.astype(cdt_c),
                                method=SynthesizerTrn.diffusion_conditioning)
 
+        @functools.partial(jax.jit, static_argnames=("out_len",))
+        def _attn_biases(variables, out_len):
+            """13x (H, T, T) bf16 T5 biases (log2-domain).  ~1 GB of HBM
+            writes at serving shapes — computed once per code bucket and
+            cached across requests (they depend only on weights + length)."""
+            biases = model.apply(variables, out_len,
+                                 method=SynthesizerTrn.diffusion_attention_biases)
+            return [b.astype(cdt_c) for b in biases]
+
         @jax.jit
-        def _diffuse(variables, latents, cond_latent, rng):
+        def _diffuse(variables, latents, cond_latent, biases, rng):
             """latents (B,Tc,768) + precomputed diffusion conditioning
-            (B, 2*mc) -> denormalized mel (B,4Tc,128)."""
+            (B, 2*mc) + hoisted per-bucket attention biases
+            -> denormalized mel (B,4Tc,128)."""
             out_len = latents.shape[1] * FRAMES_PER_CODE
             cond_latent = cond_latent.astype(cdt_c)
             code_emb = model.apply(
                 variables, latents.astype(cdt_c), cond_latent,
                 method=SynthesizerTrn.diffusion_code_embedding)
-            # T5 biases are timestep-independent: compute ONCE here so the
-            # 50-step scan reuses them (and the TPU pallas attention kernel
-            # engages on the precomputed-bias path).
-            biases = model.apply(variables, out_len,
-                                 method=SynthesizerTrn.diffusion_attention_biases)
-            biases = [b.astype(cdt_c) for b in biases]
 
             def model_fn(x, t_orig, conditioning_free):
                 if x.shape[0] == 2 * latents.shape[0]:
@@ -244,6 +253,8 @@ class TTSEngine:
         self._generate = _generate
         self._latents = _latents
         self._diff_cond = _diff_cond
+        self._attn_biases = _attn_biases
+        self._bias_cache: "OrderedDict[int, list]" = OrderedDict()
         self._diffuse = _diffuse
         self._vocode = _vocode
         self._codes_to_mel = _codes_to_mel
@@ -334,6 +345,28 @@ class TTSEngine:
                 out[i] = cond[j : j + 1]
         return out[0] if n == 1 else jnp.concatenate(out, axis=0)
 
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, value):
+        """Swapping weights (trainer eval) invalidates the bias cache."""
+        self._variables = value
+        self._bias_cache.clear()
+
+    def attention_biases(self, out_len: int) -> list:
+        """LRU-cached hoisted diffusion attention biases for ``out_len``."""
+        cached = self._bias_cache.get(out_len)
+        if cached is not None:
+            self._bias_cache.move_to_end(out_len)
+            return cached
+        biases = self._attn_biases(self.variables, out_len)
+        self._bias_cache[out_len] = biases
+        while len(self._bias_cache) > max(self.ecfg.bias_cache_buckets, 1):
+            self._bias_cache.popitem(last=False)
+        return biases
+
     def _shard(self, *arrays):
         """Shard request arrays over the mesh's data axis (no-op w/o mesh)."""
         if self.mesh is None:
@@ -353,7 +386,12 @@ class TTSEngine:
                                         text, rng, max_len, force_full)
         # HF-parity: the reference always drops the final token
         # (codes[:, :-1], model_24k.py:794)
-        eff = np.maximum(np.asarray(lengths) - 1, 1).astype(np.int32)
+        if force_full:
+            # lengths are statically max_len: skip the host round-trip so the
+            # downstream stages enqueue while the decode still runs on device
+            eff = np.full((codes.shape[0],), max(max_len - 1, 1), np.int32)
+        else:
+            eff = np.maximum(np.asarray(lengths) - 1, 1).astype(np.int32)
         return codes, eff
 
     def _pad_codes(self, codes, eff, vq_safe: bool = False
@@ -399,20 +437,23 @@ class TTSEngine:
         text, _ = self.prepare_text(texts)
         refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
         tick("prepare", refer_mel)
-        diff_cond = self.diffusion_cond(refer_mel, refer_len)
-        tick("diff_cond", diff_cond)
-        text, refer_mel, refer_len, diff_cond = self._shard(
-            text, refer_mel, refer_len, diff_cond)
+        text, refer_mel, refer_len = self._shard(text, refer_mel, refer_len)
 
+        # dispatch the AR decode first: diffusion_cond's host-side grouping
+        # and dispatches then overlap the ~0.7 s of device decode time
         codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
                                          force_full=force_full)
+        diff_cond = self.diffusion_cond(refer_mel, refer_len)
+        (diff_cond,) = self._shard(diff_cond)
         tick("generate", codes)
+        tick("diff_cond", diff_cond)
         codes_b, wav_len, bucket = self._pad_codes(codes, eff)
 
         latents = self._latents(self.variables, refer_mel, refer_len, text,
                                 codes_b, wav_len)
         tick("latents", latents)
-        mel = self._diffuse(self.variables, latents, diff_cond, d_rng)
+        biases = self.attention_biases(bucket * FRAMES_PER_CODE)
+        mel = self._diffuse(self.variables, latents, diff_cond, biases, d_rng)
         tick("diffuse", mel)
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
         wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
@@ -441,7 +482,7 @@ class TTSEngine:
         """
         g_rng, d_rng, v_rng = jax.random.split(rng, 3)
         codes, eff = self.generate_codes(refer_mel, refer_len, text_ids, g_rng)
-        codes_b, wav_len, _ = self._pad_codes(codes, eff, vq_safe=vq_only)
+        codes_b, wav_len, bucket = self._pad_codes(codes, eff, vq_safe=vq_only)
         if vq_only:
             mel = self._codes_to_mel(self.variables, codes_b, refer_mel,
                                      refer_len)
@@ -449,7 +490,9 @@ class TTSEngine:
             latents = self._latents(self.variables, refer_mel, refer_len,
                                     text_ids, codes_b, wav_len)
             diff_cond = self.diffusion_cond(refer_mel, refer_len)
-            mel = self._diffuse(self.variables, latents, diff_cond, d_rng)
+            biases = self.attention_biases(bucket * FRAMES_PER_CODE)
+            mel = self._diffuse(self.variables, latents, diff_cond, biases,
+                                d_rng)
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
         wav = np.asarray(self._vocode(self.variables, mel, mel_lengths,
                                       v_rng)[..., 0])
@@ -509,7 +552,8 @@ class TTSEngine:
         latents = self._latents(self.variables, refer, refer_len, text,
                                 codes_b, wav_len)
         diff_cond = self.diffusion_cond(refer, refer_len)
-        mel = self._diffuse(self.variables, latents, diff_cond, rng)
+        biases = self.attention_biases(codes_b.shape[1] * FRAMES_PER_CODE)
+        mel = self._diffuse(self.variables, latents, diff_cond, biases, rng)
         self._vocode(self.variables, mel,
                      jnp.asarray(eff * FRAMES_PER_CODE), rng)
 

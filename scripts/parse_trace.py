@@ -17,6 +17,7 @@ from pathlib import Path
 def main():
     root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dtts_trace")
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    raw = "--raw" in sys.argv  # keep full op names (fusion.123 stays distinct)
     traces = sorted(root.rglob("*.trace.json.gz"), key=lambda p: p.stat().st_mtime)
     if not traces:
         sys.exit(f"no trace under {root}")
@@ -42,7 +43,7 @@ def main():
         is_device = "TPU" in proc or "/device" in proc or "XLA" in proc
         if not is_device:
             continue
-        name = strip.sub("", e.get("name", ""))
+        name = e["name"] if raw else strip.sub("", e.get("name", ""))
         agg[name][0] += e["dur"] / 1e6
         agg[name][1] += 1
         total_device += e["dur"] / 1e6
