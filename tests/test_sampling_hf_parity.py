@@ -151,3 +151,29 @@ def test_full_reference_warper_chain():
     x = apply_temperature(x, 0.8)
     x = apply_top_p(x, 0.8)
     _assert_same(x, theirs, "chain")
+
+
+def test_top_p_prefix_reconstruction_fuzz():
+    """The arithmetic (sort + boundary compare) top_p must equal the direct
+    scatter-by-stable-sort construction on randomized logits with ties."""
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        vv = int(rng.integers(4, 200))
+        p = float(rng.uniform(0.05, 0.99))
+        logits = rng.normal(size=(5, vv)).astype(np.float32)
+        if trial % 2:  # inject ties, including at the nucleus boundary
+            q = rng.integers(1, 5)
+            logits = np.round(logits * q) / q
+        ours = np.asarray(apply_top_p(jnp.asarray(logits), p))
+        # direct construction: stable argsort, prefix removal, scatter back
+        order = np.argsort(logits, axis=-1, kind="stable")
+        slog = np.take_along_axis(logits, order, axis=-1)
+        probs = torch.softmax(torch.tensor(slog), -1).numpy()
+        cum = np.cumsum(probs, axis=-1)
+        rem_sorted = cum <= (1.0 - p)
+        rem_sorted[:, -1] = False
+        rem = np.zeros_like(rem_sorted)
+        np.put_along_axis(rem, order, rem_sorted, axis=-1)
+        expect = np.where(rem, -np.inf, logits)
+        same_inf = np.isneginf(ours) == np.isneginf(expect)
+        assert same_inf.all(), (trial, vv, p, np.argwhere(~same_inf)[:5])
