@@ -58,6 +58,10 @@ class EngineConfig:
     # 'ancestral' is the reference's LIVE path (p_sample_loop, model_24k.py:489);
     # 'dpmpp_2m' is its *configured* sampler (model_24k.py:583), 'ddim' extra.
     diffusion_sampler: str = "ancestral"
+    # Override cfg.diffusion.infer_steps (reference: 50).  Fewer steps trade
+    # refinement quality for latency ~linearly (e.g. 25 + dpmpp_2m for a
+    # fast mode); None keeps the reference count.
+    diffusion_steps: Optional[int] = None
     # Convert to int16 PCM on device before the host transfer (halves the
     # device->host bytes; the serving wire format is PCM anyway).
     pcm16_output: bool = False
@@ -119,7 +123,11 @@ class TTSEngine:
             cfg.data.sampling_rate, cfg.data.filter_length,
             cfg.data.hop_length, cfg.data.win_length, cfg.data.n_mel_channels,
             cfg.data.mel_fmin, cfg.data.mel_fmax)
-        self.schedule = make_infer_schedule(cfg)
+        sched_cfg = cfg
+        if engine_cfg.diffusion_steps is not None:
+            sched_cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, infer_steps=engine_cfg.diffusion_steps))
+        self.schedule = make_infer_schedule(sched_cfg)
         if tokenizer is None:
             tokenizer = make_tokenizer(cfg.data.tokenizer_vocab)
         self.tokenizer = tokenizer

@@ -96,3 +96,20 @@ def test_engine_sampler_selection():
         bad = random_engine(cfg, engine_cfg=EngineConfig(
             diffusion_sampler="nope", **base))
         bad.synthesize_batch(["a"], [wav], rng=jax.random.PRNGKey(0))
+
+
+def test_engine_diffusion_steps_override():
+    """EngineConfig.diffusion_steps shrinks the serving schedule only."""
+    from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
+
+    cfg = small_test_config()
+    eng = random_engine(cfg, engine_cfg=EngineConfig(
+        max_generate_length=8, text_buckets=(16,), prompt_buckets=(32,),
+        code_buckets=(8,), diffusion_steps=3))
+    assert eng.schedule.num_timesteps == 3
+    assert eng.cfg.diffusion.infer_steps == cfg.diffusion.infer_steps
+    sr = cfg.data.sampling_rate
+    wav = np.random.default_rng(1).uniform(-0.3, 0.3, sr).astype(np.float32)
+    out = eng.synthesize_batch(["ni3 hao3"], [wav],
+                               rng=jax.random.PRNGKey(0), force_full=True)
+    assert np.isfinite(out[0]).all()
