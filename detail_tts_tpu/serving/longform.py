@@ -70,3 +70,46 @@ def synthesize_long(engine, text: str, prompt_wav: np.ndarray,
         wavs.extend(fn(group, [prompt_wav] * len(group), rng=key))
     return crossfade_concat(wavs, engine.cfg.data.sampling_rate,
                             fade_ms=fade_ms)
+
+
+def synthesize_long_stream(engine, text: str, prompt_wav: np.ndarray,
+                           rng=None, batch_size: int = 8,
+                           max_chars: int = 120, fade_ms: float = 20.0,
+                           vq_only: bool = False):
+    """Streaming long-form synthesis: yields playable segments as each
+    chunk batch completes (time-to-first-audio = one batch instead of the
+    whole text).
+
+    Segments are emitted with the crossfade already applied at each join:
+    every yielded array's tail is faded INTO the next segment's head, so
+    plain concatenation of the yields is sample-identical to
+    :func:`synthesize_long` with the same arguments and rng.
+    """
+    import jax
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    chunks = split_sentences(text, max_chars=max_chars)
+    if not chunks:
+        return
+    sr = engine.cfg.data.sampling_rate
+    fade = max(int(sr * fade_ms / 1000.0), 1)
+    pending: Optional[np.ndarray] = None  # audio whose tail may still fade
+    for i in range(0, len(chunks), batch_size):
+        group = chunks[i : i + batch_size]
+        rng, key = jax.random.split(rng)
+        fn = engine.synthesize_vq_batch if vq_only else engine.synthesize_batch
+        wavs = fn(group, [prompt_wav] * len(group), rng=key)
+        merged = crossfade_concat(
+            wavs if pending is None else [pending] + list(wavs), sr,
+            fade_ms=fade_ms)
+        if i + batch_size < len(chunks):
+            # hold back one fade window: it must blend with the next batch
+            hold = min(fade, len(merged))
+            if len(merged) > hold:
+                yield merged[:-hold]
+            pending = merged[-hold:]
+        else:
+            yield merged
+            pending = None
+    if pending is not None and len(pending):  # pragma: no cover — safety
+        yield pending
