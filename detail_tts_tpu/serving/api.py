@@ -46,21 +46,24 @@ def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
     wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
 
 
-def build_engine(config: str | None, ckpt: str | None, seed: int = 0):
+def build_engine(config: str | None, ckpt: str | None, seed: int = 0,
+                 engine_cfg=None):
     import jax
 
     from detail_tts_tpu.config import Config
-    from detail_tts_tpu.serving.pipeline import TTSEngine, random_engine
+    from detail_tts_tpu.serving.pipeline import (EngineConfig, TTSEngine,
+                                                 random_engine)
 
     cfg = Config.from_json(config) if config else Config()
+    engine_cfg = engine_cfg or EngineConfig()
     if ckpt is None:
         print("WARNING: no --ckpt given; synthesizing with random weights",
               file=sys.stderr)
-        return random_engine(cfg, seed=seed)
+        return random_engine(cfg, seed=seed, engine_cfg=engine_cfg)
     from detail_tts_tpu.train.checkpoint import restore_variables
 
     variables = restore_variables(ckpt, cfg)
-    return TTSEngine(cfg, variables)
+    return TTSEngine(cfg, variables, engine_cfg=engine_cfg)
 
 
 def main(argv=None):
@@ -73,15 +76,41 @@ def main(argv=None):
     p.add_argument("--vq-only", action="store_true",
                    help="diffusion-free path (reference infer_gpt)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--long", action="store_true",
+                   help="long-form mode: sentence chunking with prompt "
+                        "reuse and crossfades (serving/longform.py)")
+    p.add_argument("--sampler", default="ancestral",
+                   choices=["ancestral", "ddim", "dpmpp_2m"],
+                   help="diffusion sampler (reference live path: ancestral)")
+    p.add_argument("--diffusion-steps", type=int, default=None,
+                   help="override cfg.diffusion.infer_steps (fast mode)")
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--top-p", type=float, default=None)
     args = p.parse_args(argv)
+
+    import dataclasses
 
     import jax
 
-    eng = build_engine(args.config, args.ckpt, args.seed)
+    from detail_tts_tpu.serving.pipeline import EngineConfig
+
+    ecfg = EngineConfig(diffusion_sampler=args.sampler,
+                        diffusion_steps=args.diffusion_steps)
+    if args.temperature is not None:
+        ecfg = dataclasses.replace(ecfg, temperature=args.temperature)
+    if args.top_p is not None:
+        ecfg = dataclasses.replace(ecfg, top_p=args.top_p)
+
+    eng = build_engine(args.config, args.ckpt, args.seed, engine_cfg=ecfg)
     sr = eng.cfg.data.sampling_rate
     prompt = load_wav(args.prompt, sr)
     rng = jax.random.PRNGKey(args.seed)
-    if args.vq_only:
+    if args.long:
+        from detail_tts_tpu.serving.longform import synthesize_long
+
+        wav = synthesize_long(eng, args.text, prompt, rng=rng,
+                              vq_only=args.vq_only)
+    elif args.vq_only:
         wav = eng.synthesize_vq_batch([args.text], [prompt], rng=rng)[0]
     else:
         wav = eng.synthesize(args.text, prompt, rng=rng)

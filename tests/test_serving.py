@@ -63,3 +63,38 @@ def test_early_stop_lengths():
                                     jax.random.PRNGKey(3))
     assert codes.shape == (1, 16)
     assert 1 <= int(eff[0]) <= 16
+
+
+def test_api_cli_smoke(tmp_path, monkeypatch):
+    """CLI arg wiring: --long/--sampler/--diffusion-steps/--top-p reach the
+    engine; output wav written."""
+    from scipy.io import wavfile
+
+    from detail_tts_tpu.serving import api
+
+    eng_box = {}
+
+    def fake_build(config, ckpt, seed=0, engine_cfg=None):
+        cfg = small_test_config()
+        ecfg = dataclasses.replace(
+            engine_cfg, max_generate_length=8, text_buckets=(16,),
+            prompt_buckets=(32,), code_buckets=(8,))
+        eng_box["eng"] = random_engine(cfg, engine_cfg=ecfg, fast=True)
+        return eng_box["eng"]
+
+    monkeypatch.setattr(api, "build_engine", fake_build)
+    prompt_path = str(tmp_path / "p.wav")
+    out_path = str(tmp_path / "o.wav")
+    wav = (np.random.default_rng(0).uniform(-0.2, 0.2, 24000) * 32767)
+    wavfile.write(prompt_path, 24000, wav.astype(np.int16))
+
+    api.main(["--text", "yi1 ju4. er4 ju4.", "--prompt", prompt_path,
+              "--out", out_path, "--long", "--vq-only",
+              "--sampler", "ddim", "--diffusion-steps", "3",
+              "--top-p", "0.9", "--temperature", "0.7"])
+    sr, out = wavfile.read(out_path)
+    assert sr == 24000 and len(out) > 0
+    ecfg = eng_box["eng"].ecfg
+    assert (ecfg.diffusion_sampler, ecfg.top_p, ecfg.temperature) == \
+        ("ddim", 0.9, 0.7)
+    assert eng_box["eng"].schedule.num_timesteps == 3
