@@ -165,14 +165,19 @@ class _GroupNormCore(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         assert x.ndim == 3, "GroupNorm32 expects (B, T, C)"
-        xg = x.reshape(x.shape[0], x.shape[1], g, c // g)  # (B, T, G, C/G)
-        # fp32-accumulated sibling reductions over the same operand: XLA
-        # multi-output-fuses them into ONE pass over the activation (the
-        # two-pass mean-then-centred-var form costs an extra full read).
+        b, t, _ = x.shape
+        n = t * (c // g)
+        # Stats in two stages: a LANE-ALIGNED reduction over T only (full
+        # memory bandwidth; fp32-accumulated sibling sums multi-output-fuse
+        # into one pass), then a tiny per-group fold.  Reducing (T, C/G)
+        # directly makes XLA emit a segmented-lane reduce (24 of 128 lanes
+        # per group) that runs far below HBM bandwidth.
         # E[x^2]-m^2 in fp32 is safe at activation scales (|x| ~ 1e1):
         # worst-case cancellation leaves ~4 significant digits of variance.
-        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # (B, G)
-        mean_sq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+        s1 = jnp.sum(x, axis=1, dtype=jnp.float32)               # (B, C)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1)  # (B, C)
+        mean = jnp.sum(s1.reshape(b, g, c // g), axis=-1) / n    # (B, G)
+        mean_sq = jnp.sum(s2.reshape(b, g, c // g), axis=-1) / n
         var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)  # (B, G)
 
