@@ -98,3 +98,38 @@ def test_api_cli_smoke(tmp_path, monkeypatch):
     assert (ecfg.diffusion_sampler, ecfg.top_p, ecfg.temperature) == \
         ("ddim", 0.9, 0.7)
     assert eng_box["eng"].schedule.num_timesteps == 3
+
+
+def test_multilingual_vocabs_through_engine():
+    """en/jp/kr bundled vocabs drive the engine end-to-end (zero-shot TTS
+    is language-selected purely by tokenizer vocab in the reference)."""
+    from detail_tts_tpu.text.tokenizer import make_tokenizer
+
+    cfg = small_test_config()
+    ecfg = EngineConfig(max_generate_length=8, text_buckets=(16,),
+                        prompt_buckets=(32,), code_buckets=(8,))
+    sr = cfg.data.sampling_rate
+    wav = np.random.default_rng(3).uniform(-0.3, 0.3, sr).astype(np.float32)
+    texts = {"en": "hello there", "jp": "konnichiwa", "kr": "annyeong"}
+    eng = random_engine(cfg, engine_cfg=ecfg, fast=True)
+    for lang, text in texts.items():
+        # language selection = vocab swap; jit cache shared across langs
+        eng.tokenizer = make_tokenizer(lang)
+        out = eng.synthesize_batch([text], [wav], rng=jax.random.PRNGKey(1),
+                                   force_full=True)
+        assert np.isfinite(out[0]).all() and len(out[0]) > 0, lang
+
+
+def test_bias_cache_lru_and_invalidation():
+    eng = _small_engine()
+    b1 = eng.attention_biases(32)
+    assert eng.attention_biases(32) is b1  # cached
+    eng.attention_biases(64)
+    assert set(eng._bias_cache) == {32, 64}
+    # default cap 2: a third bucket evicts the least-recent (32)
+    eng.attention_biases(32)  # refresh 32 -> 64 becomes LRU
+    eng.attention_biases(96)
+    assert 64 not in eng._bias_cache and 32 in eng._bias_cache
+    # swapping weights invalidates
+    eng.variables = dict(eng.variables)
+    assert not eng._bias_cache
