@@ -1,0 +1,161 @@
+"""Microbatching request server around :class:`TTSEngine`.
+
+The reference has no serving layer (api.py is a one-shot script); production
+TPU serving wants batched dispatch: the engine's throughput at batch 8 is
+~an order of magnitude above batch 1, so concurrent requests should ride one
+program launch.  This module provides the standard microbatcher:
+
+* requests enqueue (text, prompt_wav) and get a Future;
+* a single dispatch thread drains the queue, groups up to ``max_batch``
+  requests — waiting at most ``max_wait_ms`` for stragglers once the first
+  request of a batch arrives — and runs ONE ``synthesize_batch`` call;
+* voice conditioning stays per-item deterministic (serving/pipeline.py pads
+  prompts per item and masks); the sampling noise stream folds all seeds of
+  the batch, so exact sample-level reproducibility needs a batch-1 direct
+  engine call.
+
+Single dispatch thread == single in-flight program per engine: the TPU is
+serially occupied anyway, and jit caches are not thread-safe to grow
+concurrently.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    text: str
+    prompt_wav: np.ndarray
+    seed: int
+    vq_only: bool
+    future: Future = field(default_factory=Future)
+
+
+class TTSServer:
+    """Threaded microbatching front-end for a TTSEngine.
+
+    Usage::
+
+        server = TTSServer(engine, max_batch=8, max_wait_ms=20)
+        server.start()
+        fut = server.submit("ni3 hao3", prompt_wav, seed=0)
+        wav = fut.result()
+        server.stop()
+    """
+
+    def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 20.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self.batches_dispatched = 0
+        self.requests_served = 0
+
+    # ------------------------------------------------------------------ api
+
+    def submit(self, text: str, prompt_wav: np.ndarray, seed: int = 0,
+               vq_only: bool = False) -> Future:
+        """Enqueue a request; returns a Future resolving to the wav."""
+        if not self._running:
+            raise RuntimeError("server not started")
+        req = _Request(text, np.asarray(prompt_wav, np.float32), seed, vq_only)
+        self._queue.put(req)
+        return req.future
+
+    def synthesize(self, text: str, prompt_wav: np.ndarray, seed: int = 0,
+                   timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking convenience wrapper."""
+        return self.submit(text, prompt_wav, seed).result(timeout=timeout)
+
+    def start(self) -> "TTSServer":
+        if self._running:
+            return self
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tts-dispatch")
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        if not self._running:
+            return
+        self._running = False
+        self._queue.put(None)  # wake the dispatcher
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ------------------------------------------------------------- internals
+
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then drain stragglers briefly."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = self.max_wait_ms / 1000.0
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-post the stop sentinel
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        while self._running:
+            batch = self._collect()
+            if not batch:
+                continue
+            # vq_only requests run in their own group (different pipeline)
+            for vq_only in (False, True):
+                group = [r for r in batch if r.vq_only == vq_only]
+                if group:
+                    self._dispatch(group, vq_only)
+
+    def _dispatch(self, group: List[_Request], vq_only: bool) -> None:
+        """One batched engine call for the group.
+
+        rng: all request seeds fold into one batch key.  Voice conditioning
+        is per-item deterministic by construction (serving/pipeline.py), but
+        the SAMPLING noise stream depends on batch composition — for exact
+        (text, prompt, seed) reproducibility call the engine directly at
+        batch 1.
+        """
+        import jax
+
+        try:
+            texts = [r.text for r in group]
+            prompts = [r.prompt_wav for r in group]
+            rng = jax.random.PRNGKey(len(group))
+            for r in group:
+                rng = jax.random.fold_in(rng, r.seed & 0x7FFFFFFF)
+            fn = (self.engine.synthesize_vq_batch if vq_only
+                  else self.engine.synthesize_batch)
+            outs = fn(texts, prompts, rng=rng)
+            for r, wav in zip(group, outs):
+                r.future.set_result(wav)
+            self.batches_dispatched += 1
+            self.requests_served += len(group)
+        except Exception as e:  # per-batch failure must not kill the server
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
