@@ -252,3 +252,55 @@ def test_full_checkpoint_convert_and_msgpack_roundtrip(ref_and_jax, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(cb),
         np.asarray(variables["vq_state"]["quantizer"]["layer_0"]["codebook"]["embed"]))
+
+
+def test_ddim_sampler_loop_parity(ref_and_jax):
+    """End-to-end DETERMINISTIC sampler parity: the reference's 50-step
+    SpacedDiffusion.ddim_sample_loop (conditioning_free + ramped k,
+    model_24k.py:581-583) vs our ddim_sample_loop driving the SERVING
+    model_fn (precomputed code embedding + CFG 2B batched call + hoisted
+    log2-domain biases) from the same converted weights and noise.
+
+    Pins the schedule spacing, CFG ramp, learned-range variance math and
+    the cfg_call dedup wiring in one shot (eta=0 removes all randomness).
+    """
+    from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
+    from detail_tts_tpu.models.diffusion import ddim_sample_loop
+    from detail_tts_tpu.models.synthesizer import make_infer_schedule
+
+    G, model, variables, cfg = ref_and_jax
+    rng = np.random.default_rng(11)
+    b, t_code = 1, 6
+    t_mel = t_code * FRAMES_PER_CODE
+    latents = rng.normal(0, 1, (b, t_code, 768)).astype(np.float32)
+    refer = rng.normal(-6, 2, (b, 128, 48)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, 128, t_mel)).astype(np.float32)
+
+    with torch.no_grad():
+        cond_ref = G.diffusion.get_conditioning(torch.from_numpy(refer))
+        out_ref = _np(G.infer_diffuser.ddim_sample_loop(
+            G.diffusion, (b, 128, t_mel), noise=torch.from_numpy(noise),
+            model_kwargs={"aligned_conditioning": torch.from_numpy(latents),
+                          "conditioning_latent": cond_ref}))
+
+    schedule = make_infer_schedule(cfg)
+
+    def run(m):
+        cond = m.diffusion_conditioning(jnp.asarray(refer.transpose(0, 2, 1)))
+        code_emb = m.diffusion_code_embedding(jnp.asarray(latents), cond)
+        biases = m.diffusion_attention_biases(t_mel)
+
+        def model_fn(x, t_orig, conditioning_free):
+            if x.shape[0] == 2 * b:
+                return m.diffusion_cfg_step(x, t_orig, code_emb, biases)
+            cf = (jnp.zeros((x.shape[0],), bool) if conditioning_free is None
+                  else conditioning_free)
+            return m.diffusion_step(x, t_orig, code_emb, cf, biases)
+
+        return ddim_sample_loop(
+            schedule, model_fn, jnp.asarray(noise.transpose(0, 2, 1)),
+            cond_free_k=cfg.diffusion.cond_free_k, conditioning_free=True)
+
+    out_j = np.asarray(model.apply(variables, method=run))
+    np.testing.assert_allclose(out_ref.transpose(0, 2, 1), out_j,
+                               atol=5e-3, rtol=1e-2)
