@@ -302,9 +302,15 @@ class TTSEngine:
         chunk = self.cfg.data.sampling_rate // 2
         cap = self.ecfg.prompt_buckets[-1]
         padded = []
-        for w in wavs:
+        for i, w in enumerate(wavs):
             w = np.asarray(w, np.float32)
             n_true = w.shape[-1] // self.cfg.data.hop_length
+            if n_true < 1:
+                # a zero-length prompt would zero the style-pool mask and
+                # silently produce NaN audio — fail loudly instead
+                raise ValueError(
+                    f"prompt wav {i} too short: {w.shape[-1]} samples "
+                    f"(< one hop of {self.cfg.data.hop_length})")
             padded.append((np.pad(w, (0, (-len(w)) % chunk)),
                            min(n_true, cap)))
         mels: List[Optional[np.ndarray]] = [None] * len(wavs)

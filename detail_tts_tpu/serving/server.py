@@ -103,15 +103,21 @@ class TTSServer:
     # ------------------------------------------------------------- internals
 
     def _collect(self) -> List[_Request]:
-        """Block for the first request, then drain stragglers briefly."""
+        """Block for the first request, then drain stragglers until the
+        batch deadline (max_wait_ms after the first arrival) or max_batch."""
+        import time
+
         first = self._queue.get()
         if first is None:
             return []
         batch = [first]
-        deadline = self.max_wait_ms / 1000.0
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=deadline)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
