@@ -187,6 +187,9 @@ def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
     bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
     n_q = t_pad // block_q
 
+    # NOTE: marking the grid dims "parallel" via CompilerParams was tried and
+    # measured SLOWER (33.7x vs 34.1x): reordering breaks the deliberate
+    # bias-tile revisit pattern of the (h, q_block, batch) grid order.
     grid = (heads, n_q, b)
     out = pl.pallas_call(
         functools.partial(_attn_packed_kernel, sm_scale=sm_scale),
