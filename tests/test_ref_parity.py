@@ -304,3 +304,64 @@ def test_ddim_sampler_loop_parity(ref_and_jax):
     out_j = np.asarray(model.apply(variables, method=run))
     np.testing.assert_allclose(out_ref.transpose(0, 2, 1), out_j,
                                atol=5e-3, rtol=1e-2)
+
+
+def test_ddim_loop_bf16_serving_precision(ref_and_jax):
+    """BASELINE budget check: bf16 weights/activations (the serving policy)
+    keep the deterministic diffusion mel within L1 1e-2 of the reference's
+    fp32 loop (BASELINE.md: mel L1 <= 1e-2 vs PyTorch)."""
+    from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
+    from detail_tts_tpu.models.diffusion import ddim_sample_loop
+    from detail_tts_tpu.models.synthesizer import make_infer_schedule
+
+    G, model, variables, cfg = ref_and_jax
+    rng = np.random.default_rng(13)
+    b, t_code = 1, 6
+    t_mel = t_code * FRAMES_PER_CODE
+    latents = rng.normal(0, 1, (b, t_code, 768)).astype(np.float32)
+    refer = rng.normal(-6, 2, (b, 128, 48)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, 128, t_mel)).astype(np.float32)
+
+    with torch.no_grad():
+        cond_ref = G.diffusion.get_conditioning(torch.from_numpy(refer))
+        out_ref = _np(G.infer_diffuser.ddim_sample_loop(
+            G.diffusion, (b, 128, t_mel), noise=torch.from_numpy(noise),
+            model_kwargs={"aligned_conditioning": torch.from_numpy(latents),
+                          "conditioning_latent": cond_ref}))
+
+    # bf16 weights, exactly as TTSEngine casts them (pipeline.py)
+    bf16_vars = {
+        "params": jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+            variables["params"]),
+        "vq_state": variables["vq_state"],
+    }
+    schedule = make_infer_schedule(cfg)
+
+    def run(m):
+        cond = m.diffusion_conditioning(
+            jnp.asarray(refer.transpose(0, 2, 1), jnp.bfloat16))
+        code_emb = m.diffusion_code_embedding(
+            jnp.asarray(latents, jnp.bfloat16), cond)
+        biases = m.diffusion_attention_biases(t_mel)
+        biases = [bb.astype(jnp.bfloat16) for bb in biases]
+
+        def model_fn(x, t_orig, conditioning_free):
+            if x.shape[0] == 2 * b:
+                return m.diffusion_cfg_step(x.astype(jnp.bfloat16), t_orig,
+                                            code_emb, biases)
+            cf = (jnp.zeros((x.shape[0],), bool) if conditioning_free is None
+                  else conditioning_free)
+            return m.diffusion_step(x.astype(jnp.bfloat16), t_orig, code_emb,
+                                    cf, biases)
+
+        return ddim_sample_loop(
+            schedule, model_fn, jnp.asarray(noise.transpose(0, 2, 1)),
+            cond_free_k=cfg.diffusion.cond_free_k, conditioning_free=True)
+
+    out_j = np.asarray(model.apply(bf16_vars, method=run))
+    # normalized-mel domain, like the reference loop output
+    l1 = float(np.mean(np.abs(out_ref.transpose(0, 2, 1) - out_j)))
+    print(f"bf16 serving-vs-fp32-reference diffusion mel L1: {l1:.5f}")
+    assert l1 <= 1e-2, l1
