@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -252,14 +252,30 @@ class Trainer:
     # ---------------------------------------------------------------- train
 
     def train(self, max_steps: Optional[int] = None,
-              log_every: int = 10) -> Dict[str, float]:
+              log_every: int = 10,
+              profile_dir: Optional[str] = None,
+              profile_steps: Tuple[int, int] = (3, 6)) -> Dict[str, float]:
+        """``profile_dir``: write a jax.profiler trace of training steps
+        [profile_steps[0], profile_steps[1]) — view with TensorBoard or
+        scripts/parse_trace.py (SURVEY §5 tracing)."""
         assert self.data_iter is not None, "call default_data() or pass data_iter"
         cfg = self.cfg
         max_steps = max_steps or cfg.train.train_steps
         last_metrics: Dict[str, float] = {}
         t_last = time.perf_counter()
+        profiling = False
+        steps_seen = 0
 
         while int(self.state.step) < max_steps:
+            if profile_dir is not None and _is_host0():
+                if steps_seen == profile_steps[0] and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif steps_seen == profile_steps[1] and profiling:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+            steps_seen += 1
             batch = next(self.data_iter)
             if self.target in GAN_TARGETS and _leading(batch) == 1:
                 batch = {k: v[0] for k, v in batch.items()}  # no accum axis
@@ -282,6 +298,9 @@ class Trainer:
                 self._eval_dump(batch)
             if step % cfg.train.save_freq == 0:
                 self.save()
+        if profiling:  # max_steps inside the profile window
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
         return last_metrics
 
 

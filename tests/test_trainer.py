@@ -86,10 +86,16 @@ def test_trainer_steps_and_checkpoint(tmp_path):
     tr = Trainer(cfg, logs_folder=str(tmp_path / "logs"), buckets=buckets,
                  mesh=None)
     tr.default_data(jsonl, num_threads=2)
-    metrics = tr.train(max_steps=2, log_every=1)
+    prof_dir = str(tmp_path / "prof")
+    metrics = tr.train(max_steps=2, log_every=1, profile_dir=prof_dir,
+                       profile_steps=(0, 1))
     tr.data_iter.close()
     assert np.isfinite(metrics["loss"])
     assert int(tr.state.step) == 2
+    # jax.profiler trace written (SURVEY §5 tracing hook)
+    import glob
+    assert glob.glob(os.path.join(prof_dir, "**", "*.trace.json.gz"),
+                     recursive=True)
     # eval wav + checkpoint written
     assert os.path.exists(str(tmp_path / "logs" / "sample-1.wav"))
     ckpt_dir = str(tmp_path / "logs" / "ckpt")
