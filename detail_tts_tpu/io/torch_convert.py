@@ -344,6 +344,73 @@ def translate(name: str, diffusion_layers: int = 10
     return None
 
 
+def t_conv2d(w):  # torch Conv2d (out, in/g, kh, kw) -> flax (kh, kw, in/g, out)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+_DISC_PERIODS = (2, 3, 5, 7, 11)
+
+
+def translate_discriminator(name: str) -> Optional[Tuple[str, Callable]]:
+    """Reference ``MultiPeriodDiscriminator`` (D) state-dict name ->
+    ('params/...' path, transform).
+
+    Reference layout (vqvae/model_24k.py:407-431): ``discriminators.0`` is
+    DiscriminatorS (1-D convs), ``discriminators.1..5`` are DiscriminatorP
+    with periods (2,3,5,7,11) (2-D convs).  Checkpoints store D separately
+    from G (train.py:139-150).
+    """
+    m = re.fullmatch(r"discriminators\.(\d)\.(convs\.(\d)|conv_post)"
+                     r"\.(weight|bias)", name)
+    if not m:
+        return None
+    idx = int(m.group(1))
+    sub = "conv_post" if m.group(2) == "conv_post" else f"conv_{m.group(3)}"
+    leaf = "kernel" if m.group(4) == "weight" else "bias"
+    if idx == 0:  # DiscriminatorS: Conv1d wrapper nests an nn.Conv as 'conv'
+        return (f"params/disc_s/{sub}/conv/{leaf}",
+                t_conv if leaf == "kernel" else t_id)
+    period = _DISC_PERIODS[idx - 1]
+    return (f"params/disc_p{period}/{sub}/{leaf}",
+            t_conv2d if leaf == "kernel" else t_id)
+
+
+def convert_discriminator_state_dict(sd: Dict[str, Any], template: Dict[str, Any]
+                                     ) -> Tuple[Dict[str, Any], Dict[str, list]]:
+    """torch D state dict -> the MPD ``params`` tree (pass the bare params
+    subtree as ``template``, i.e. ``disc.init(...)['params']``)."""
+    import jax
+
+    sd = fold_weight_norm({k: _to_numpy(v) for k, v in sd.items()})
+    converted: Dict[str, np.ndarray] = {}
+    unmapped = []
+    for name, value in sd.items():
+        tr = translate_discriminator(name)
+        if tr is None:
+            unmapped.append(name)
+            continue
+        path, fn = tr
+        converted[path] = fn(value)
+
+    missing = []
+
+    def fill(path, leaf):
+        name = "params/" + "/".join(_k(k) for k in path)
+        v = converted.pop(name, None)
+        if v is None:
+            missing.append(name)
+            return leaf
+        if tuple(v.shape) != tuple(leaf.shape):
+            raise ValueError(f"shape mismatch at {name}: torch {v.shape} "
+                             f"vs template {leaf.shape}")
+        return np.asarray(v, dtype=leaf.dtype)
+
+    params = jax.tree_util.tree_map_with_path(fill, template)
+    report = {"unmapped": unmapped, "missing": missing,
+              "unconsumed": sorted(converted)}
+    return params, report
+
+
 # ---------------------------------------------------------------------------
 # State-dict level conversion
 # ---------------------------------------------------------------------------

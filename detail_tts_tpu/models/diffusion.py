@@ -245,16 +245,23 @@ ModelFn = Callable[[jax.Array, jax.Array, bool], Tuple[jax.Array, jax.Array]]
 
 def p_sample_loop(schedule: DiffusionSchedule, model_fn: ModelFn, noise: jax.Array,
                   rng: jax.Array, *, cond_free_k: float = 0.0,
-                  conditioning_free: bool = False) -> jax.Array:
+                  conditioning_free: bool = False,
+                  noise_seq: Optional[jax.Array] = None) -> jax.Array:
     """Ancestral sampler with optional ramped CFG (diffusion.py:445-485).
 
     With ``conditioning_free`` the cond/uncond passes run as one 2B-batch
     model call per step.
+
+    ``noise_seq``: optional (num_timesteps, *x.shape) array of per-step
+    injection noises, ordered as consumed (first entry -> first step, i.e.
+    the highest timestep).  Used by the matched-noise parity test against
+    the reference ``p_sample`` (diffusion.py:480-485); ``rng`` is ignored
+    when given.
     """
     n = schedule.num_timesteps
 
     def step(x, carry):
-        i, key = carry
+        i, z_src = carry
         t = jnp.full((x.shape[0],), i, jnp.int32)
         t_orig = schedule.timestep_map[t]
         if conditioning_free:
@@ -273,19 +280,22 @@ def p_sample_loop(schedule: DiffusionSchedule, model_fn: ModelFn, noise: jax.Arr
         mean, logvar, _ = schedule.p_mean_variance(
             eps.astype(jnp.float32), var_logits.astype(jnp.float32),
             x.astype(jnp.float32), t)
-        z = jax.random.normal(key, x.shape, jnp.float32)
+        # z_src is a PRNG key (normal path: draw in-scan, no (n, ...) noise
+        # buffer in HBM) or a pre-drawn injection noise (parity testing)
+        z = (jax.random.normal(z_src, x.shape, jnp.float32)
+             if noise_seq is None else z_src)
         nonzero = (i != 0).astype(jnp.float32)
         x = mean + nonzero * jnp.exp(0.5 * logvar) * z
         return x, None
 
-    keys = jax.random.split(rng, n)
     indices = jnp.arange(n - 1, -1, -1)
+    zs = (jax.random.split(rng, n) if noise_seq is None
+          else jnp.asarray(noise_seq, jnp.float32))
 
     def scan_body(x, inp):
         return step(x, inp)
 
-    x, _ = jax.lax.scan(scan_body, noise.astype(jnp.float32),
-                        (indices, keys[::-1]))
+    x, _ = jax.lax.scan(scan_body, noise.astype(jnp.float32), (indices, zs))
     return x
 
 

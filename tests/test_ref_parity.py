@@ -306,6 +306,277 @@ def test_ddim_sampler_loop_parity(ref_and_jax):
                                atol=5e-3, rtol=1e-2)
 
 
+def test_ancestral_sampler_loop_parity(ref_and_jax):
+    """Matched-noise ANCESTRAL loop parity: the LIVE serving path
+    (model_24k.py:489 calls p_sample_loop; diffusion.py:654-707) injects
+    noise scaled by exp(0.5*logvar) from the LEARNED-RANGE variance head —
+    the one piece of live inference math the deterministic DDIM test never
+    exercises.  Pre-generate the per-step noises, feed the identical
+    sequence to the reference ``p_sample`` (via a torch.randn_like patch)
+    and to our ``p_sample_loop(noise_seq=...)``, and compare the final mel.
+    """
+    from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
+    from detail_tts_tpu.models.diffusion import p_sample_loop
+    from detail_tts_tpu.models.synthesizer import make_infer_schedule
+
+    G, model, variables, cfg = ref_and_jax
+    rng = np.random.default_rng(17)
+    b, t_code = 1, 6
+    t_mel = t_code * FRAMES_PER_CODE
+    latents = rng.normal(0, 1, (b, t_code, 768)).astype(np.float32)
+    refer = rng.normal(-6, 2, (b, 128, 48)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, 128, t_mel)).astype(np.float32)
+    n_steps = cfg.diffusion.infer_steps
+    # one injection noise per step, consumed highest-timestep first (the
+    # reference draws randn_like once per p_sample, diffusion.py:480)
+    step_noises = rng.normal(0, 1, (n_steps, b, 128, t_mel)).astype(np.float32)
+
+    consumed = []
+
+    def fake_randn_like(x, **kw):
+        assert tuple(x.shape) == (b, 128, t_mel)
+        consumed.append(None)
+        return torch.from_numpy(step_noises[len(consumed) - 1])
+
+    with torch.no_grad():
+        cond_ref = G.diffusion.get_conditioning(torch.from_numpy(refer))
+        orig = torch.randn_like
+        torch.randn_like = fake_randn_like
+        try:
+            out_ref = _np(G.infer_diffuser.p_sample_loop(
+                G.diffusion, (b, 128, t_mel), noise=torch.from_numpy(noise),
+                model_kwargs={"aligned_conditioning": torch.from_numpy(latents),
+                              "conditioning_latent": cond_ref}))
+        finally:
+            torch.randn_like = orig
+    assert len(consumed) == n_steps
+
+    schedule = make_infer_schedule(cfg)
+
+    def run(m):
+        cond = m.diffusion_conditioning(jnp.asarray(refer.transpose(0, 2, 1)))
+        code_emb = m.diffusion_code_embedding(jnp.asarray(latents), cond)
+        biases = m.diffusion_attention_biases(t_mel)
+
+        def model_fn(x, t_orig, conditioning_free):
+            if x.shape[0] == 2 * b:
+                return m.diffusion_cfg_step(x, t_orig, code_emb, biases)
+            cf = (jnp.zeros((x.shape[0],), bool) if conditioning_free is None
+                  else conditioning_free)
+            return m.diffusion_step(x, t_orig, code_emb, cf, biases)
+
+        return p_sample_loop(
+            schedule, model_fn, jnp.asarray(noise.transpose(0, 2, 1)),
+            jax.random.PRNGKey(0), cond_free_k=cfg.diffusion.cond_free_k,
+            conditioning_free=True,
+            noise_seq=jnp.asarray(step_noises.transpose(0, 1, 3, 2)))
+
+    out_j = np.asarray(model.apply(variables, method=run))
+    l1 = float(np.mean(np.abs(out_ref.transpose(0, 2, 1) - out_j)))
+    print(f"matched-noise ancestral loop mel L1 vs reference: {l1:.6f}")
+    assert l1 <= 1e-2, l1
+    np.testing.assert_allclose(out_ref.transpose(0, 2, 1), out_j,
+                               atol=5e-3, rtol=1e-2)
+
+
+def test_diffusion_training_losses_parity(ref_and_jax):
+    """Reference ``SpacedDiffusion.training_losses`` (MSE + VB with frozen
+    mean, diffusion.py:930-1014) vs models/diffusion.py::training_losses on
+    matched (x_start, t, noise) through the SAME converted diffusion model —
+    including the t==0 discretized-Gaussian NLL branch."""
+    from detail_tts_tpu.models.diffusion import training_losses
+    from detail_tts_tpu.models.synthesizer import make_train_schedule
+
+    G, model, variables, cfg = ref_and_jax
+    rng = np.random.default_rng(19)
+    b, t_code = 3, 6
+    t_mel = t_code * 4
+    x_start = np.tanh(rng.normal(0, 0.7, (b, 128, t_mel))).astype(np.float32)
+    latents = rng.normal(0, 1, (b, t_code, 768)).astype(np.float32)
+    refer = rng.normal(-6, 2, (b, 128, 48)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, 128, t_mel)).astype(np.float32)
+    # spaced indices incl. the t==0 NLL branch and the last step
+    t = np.array([0, 57, cfg.diffusion.train_sample_steps - 1], np.int64)
+
+    with torch.no_grad():
+        cond_ref = G.diffusion.get_conditioning(torch.from_numpy(refer))
+        terms = G.diffuser.training_losses(
+            G.diffusion, torch.from_numpy(x_start), torch.from_numpy(t),
+            model_kwargs={"aligned_conditioning": torch.from_numpy(latents),
+                          "conditioning_latent": cond_ref},
+            noise=torch.from_numpy(noise))
+
+    schedule = make_train_schedule(cfg)
+
+    def run(m):
+        cond = m.diffusion_conditioning(jnp.asarray(refer.transpose(0, 2, 1)))
+        x_start_j = jnp.asarray(x_start.transpose(0, 2, 1))
+        noise_j = jnp.asarray(noise.transpose(0, 2, 1))
+        t_j = jnp.asarray(t, jnp.int32)
+        x_t = schedule.q_sample(x_start_j, t_j, noise_j)
+        out = m.diffusion(x_t, schedule.timestep_map[t_j],
+                          aligned_latent=jnp.asarray(latents),
+                          conditioning_latent=cond)
+        eps, var_logits = jnp.split(out, 2, axis=-1)
+        total = training_losses(schedule, eps, var_logits, x_start_j, x_t,
+                                t_j, noise_j)
+        mse = jnp.mean((noise_j - eps.astype(jnp.float32)) ** 2,
+                       axis=(1, 2))
+        return total, mse
+
+    loss_j, mse_j = (np.asarray(v) for v in model.apply(variables, method=run))
+    loss_ref = _np(terms["loss"])
+    print(f"training losses ref={loss_ref} jax={loss_j}")
+    np.testing.assert_allclose(loss_ref, loss_j, rtol=2e-3, atol=2e-4)
+    # components, for diagnostics if the total ever drifts
+    np.testing.assert_allclose(_np(terms["mse"]), mse_j, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(_np(terms["vb"]), loss_j - mse_j,
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_vq_ema_dynamics_parity(ref_and_jax):
+    """One train-mode step of the torch ``EuclideanCodebook``
+    (core_vq.py:206-231: EMA order, Laplace smoothing, expiry-then-overwrite
+    quirk) vs ours on an identical batch and identical starting buffers.
+    Runs both the no-expiry case and the some-codes-expired case (where the
+    reference's post-expiry EMA write overwrites the replacements, so the
+    final buffers are deterministic in both frameworks)."""
+    from vqvae.modules.core_vq import EuclideanCodebook as TorchCodebook
+
+    from detail_tts_tpu.models.quantizer import EuclideanCodebook
+
+    rng = np.random.default_rng(23)
+    dim, size, n = 8, 64, 200
+    x = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    embed0 = rng.normal(0, 1, (size, dim)).astype(np.float32)
+    embed_avg0 = embed0 + rng.normal(0, 0.1, (size, dim)).astype(np.float32)
+
+    for case, cluster0 in (
+            ("no-expiry", rng.uniform(2.5, 9.0, (size,)).astype(np.float32)),
+            ("with-expiry", rng.uniform(0.0, 6.0, (size,)).astype(np.float32))):
+        tcb = TorchCodebook(dim=dim, codebook_size=size, kmeans_init=True,
+                            decay=0.99, epsilon=1e-5,
+                            threshold_ema_dead_code=2)
+        with torch.no_grad():
+            tcb.inited.fill_(1)
+            tcb.embed.copy_(torch.from_numpy(embed0))
+            tcb.embed_avg.copy_(torch.from_numpy(embed_avg0))
+            tcb.cluster_size.copy_(torch.from_numpy(cluster0))
+        tcb.train()
+        q_ref, ids_ref = tcb(torch.from_numpy(x.copy()))
+
+        module = EuclideanCodebook(codebook_size=size, dim=dim, decay=0.99,
+                                   epsilon=1e-5, threshold_ema_dead_code=2.0)
+        vq_state = {
+            "inited": jnp.ones((), bool),
+            "cluster_size": jnp.asarray(cluster0),
+            "embed": jnp.asarray(embed0),
+            "embed_avg": jnp.asarray(embed_avg0),
+        }
+        (q_j, ids_j), mut = module.apply(
+            {"vq_state": vq_state}, jnp.asarray(x), train=True,
+            mutable=["vq_state"], rngs={"vq": jax.random.PRNGKey(0)})
+        new = mut["vq_state"]
+
+        np.testing.assert_array_equal(_np(ids_ref), np.asarray(ids_j),
+                                      err_msg=case)
+        np.testing.assert_allclose(_np(q_ref), np.asarray(q_j), atol=1e-6,
+                                   err_msg=case)
+        np.testing.assert_allclose(_np(tcb.cluster_size),
+                                   np.asarray(new["cluster_size"]),
+                                   rtol=1e-5, atol=1e-6, err_msg=case)
+        np.testing.assert_allclose(_np(tcb.embed_avg),
+                                   np.asarray(new["embed_avg"]),
+                                   rtol=1e-5, atol=1e-6, err_msg=case)
+        np.testing.assert_allclose(_np(tcb.embed), np.asarray(new["embed"]),
+                                   rtol=1e-4, atol=1e-5, err_msg=case)
+
+
+def test_discriminator_and_gan_loss_parity(ref_and_jax):
+    """C9 numerics: converted-weights MPD forward (logits + feature maps,
+    model_24k.py:298-431) and the four GAN losses (modules/losses.py:4-58)
+    on identical inputs."""
+    from vqvae.model_24k import MultiPeriodDiscriminator as TorchMPD
+
+    from detail_tts_tpu.io.torch_convert import convert_discriminator_state_dict
+    from detail_tts_tpu.models.discriminator import MultiPeriodDiscriminator
+    from detail_tts_tpu.train import losses as L
+
+    torch.manual_seed(5)
+    tmpd = TorchMPD().eval()
+
+    disc = MultiPeriodDiscriminator()
+    seg = 10240
+    template = disc.init(jax.random.PRNGKey(0), jnp.zeros((2, seg, 1)),
+                         jnp.zeros((2, seg, 1)))["params"]
+    d_params, report = convert_discriminator_state_dict(
+        tmpd.state_dict(), template)
+    assert not report["unmapped"], report["unmapped"][:10]
+    assert not report["missing"], report["missing"][:10]
+    assert not report["unconsumed"], report["unconsumed"][:10]
+
+    rng = np.random.default_rng(29)
+    y = np.tanh(rng.normal(0, 0.4, (2, 1, seg))).astype(np.float32)
+    y_hat = np.tanh(rng.normal(0, 0.4, (2, 1, seg))).astype(np.float32)
+
+    from vqvae.modules import losses as ref_losses
+
+    with torch.no_grad():
+        r_ref, g_ref, fr_ref, fg_ref = tmpd(torch.from_numpy(y),
+                                            torch.from_numpy(y_hat))
+        loss_d_ref, _, _ = ref_losses.discriminator_loss(r_ref, g_ref)
+        loss_g_ref, _ = ref_losses.generator_loss(g_ref)
+        loss_fm_ref = ref_losses.feature_loss(fr_ref, fg_ref)
+
+    r_j, g_j, fr_j, fg_j = disc.apply(
+        {"params": d_params}, jnp.asarray(y.transpose(0, 2, 1)),
+        jnp.asarray(y_hat.transpose(0, 2, 1)))
+
+    assert len(r_ref) == len(r_j) == 6
+    for i, (rr, rj) in enumerate(zip(r_ref, r_j)):
+        np.testing.assert_allclose(_np(rr), np.asarray(rj), atol=2e-3,
+                                   rtol=1e-2, err_msg=f"real logits disc {i}")
+    for i, (gr, gj) in enumerate(zip(g_ref, g_j)):
+        np.testing.assert_allclose(_np(gr), np.asarray(gj), atol=2e-3,
+                                   rtol=1e-2, err_msg=f"fake logits disc {i}")
+    for i, (fr, fj) in enumerate(zip(fr_ref, fr_j)):
+        assert len(fr) == len(fj)
+        for k, (a, bb) in enumerate(zip(fr, fj)):
+            a = _np(a)
+            bb = np.asarray(bb)
+            if a.ndim == 4:  # torch (B, C, H, W) vs ours (B, H, W, C)
+                a = a.transpose(0, 2, 3, 1)
+            else:  # torch (B, C, T) vs ours (B, T, C)
+                a = a.transpose(0, 2, 1)
+            np.testing.assert_allclose(a, bb, atol=2e-3, rtol=1e-2,
+                                       err_msg=f"fmap disc {i} layer {k}")
+
+    loss_d_j, _, _ = L.discriminator_loss(r_j, g_j)
+    loss_g_j, _ = L.generator_loss(g_j)
+    loss_fm_j = L.feature_loss(
+        [[jnp.asarray(_np(a)) for a in d] for d in fr_ref],
+        [[jnp.asarray(_np(a)) for a in d] for d in fg_ref])
+    np.testing.assert_allclose(float(loss_d_ref), float(loss_d_j), rtol=1e-3)
+    np.testing.assert_allclose(float(loss_g_ref), float(loss_g_j), rtol=1e-3)
+    np.testing.assert_allclose(float(loss_fm_ref), float(loss_fm_j), rtol=1e-3)
+
+    # kl_loss element math on random tensors (losses.py:44-58)
+    z_p = rng.normal(0, 1, (2, 192, 40)).astype(np.float32)
+    logs_q = rng.normal(0, 0.3, (2, 192, 40)).astype(np.float32)
+    m_p = rng.normal(0, 1, (2, 192, 40)).astype(np.float32)
+    logs_p = rng.normal(0, 0.3, (2, 192, 40)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 1, 40)) > 0.2).astype(np.float32)
+    kl_ref = ref_losses.kl_loss(
+        torch.from_numpy(z_p), torch.from_numpy(logs_q), torch.from_numpy(m_p),
+        torch.from_numpy(logs_p), torch.from_numpy(mask))
+    kl_j = L.kl_loss(jnp.asarray(z_p.transpose(0, 2, 1)),
+                     jnp.asarray(logs_q.transpose(0, 2, 1)),
+                     jnp.asarray(m_p.transpose(0, 2, 1)),
+                     jnp.asarray(logs_p.transpose(0, 2, 1)),
+                     jnp.asarray(mask.transpose(0, 2, 1)))
+    np.testing.assert_allclose(float(kl_ref), float(kl_j), rtol=1e-5)
+
+
 def test_ddim_loop_bf16_serving_precision(ref_and_jax):
     """BASELINE budget check: bf16 weights/activations (the serving policy)
     keep the deterministic diffusion mel within L1 1e-2 of the reference's
