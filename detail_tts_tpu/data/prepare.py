@@ -182,7 +182,7 @@ def extract_vq(jsonl_path: str, cfg, variables, batch_frames: int = 4096,
     import jax
     import jax.numpy as jnp
 
-    from detail_tts_tpu.audio.mel import MelFrontend
+    from detail_tts_tpu.audio.mel import MEL_MIN, MelFrontend
     from detail_tts_tpu.models.synthesizer import SynthesizerTrn
 
     model = SynthesizerTrn(cfg)
@@ -192,8 +192,11 @@ def extract_vq(jsonl_path: str, cfg, variables, batch_frames: int = 4096,
                            cfg.data.mel_fmax)
 
     @jax.jit
-    def encode(mel):
-        codes, _ = model.apply(variables, mel, method=SynthesizerTrn.encode)
+    def encode(mel, length):
+        # masked extraction == per-file exact-length extraction bit-for-bit
+        # (the reference's offline behaviour) despite the bucket padding
+        codes, _ = model.apply(variables, mel, length,
+                               method=SynthesizerTrn.encode_masked)
         return codes
 
     # pad mel frames up to a small bucket grid before the jitted encoder:
@@ -219,9 +222,16 @@ def extract_vq(jsonl_path: str, cfg, variables, batch_frames: int = 4096,
                     continue
                 bucket = -(-n_frames // bucket_step) * bucket_step
                 mel = frontend.mel_spectrogram(jnp.asarray(wav)[None])
+                # pad with the log-mel SILENCE floor, not 0.0 (a loud frame
+                # in log domain): the unmasked conv stack would otherwise
+                # see real activations over the pad region and perturb the
+                # last couple of codes vs exact-length extraction
                 mel = jnp.pad(mel[:, :n_frames],
-                              ((0, 0), (0, bucket - n_frames), (0, 0)))
-                codes = np.asarray(encode(mel))[0][: n_frames // 4]
+                              ((0, 0), (0, bucket - n_frames), (0, 0)),
+                              constant_values=MEL_MIN)
+                codes = np.asarray(
+                    encode(mel, jnp.asarray([n_frames], jnp.int32))
+                )[0][: n_frames // 4]
                 np.save(row["path"] + suffix, codes.astype(np.int32))
                 n += 1
             except Exception as e:  # noqa: BLE001 — corpus runs must survive bad rows

@@ -120,6 +120,12 @@ class EuclideanCodebook(nn.Module):
                     samples = samples.reshape(-1, self.dim)[: self.kmeans_sample_cap]
                 embed, bins = _kmeans(rng, samples, self.codebook_size,
                                       self.kmeans_iters)
+                if axis_name is not None:
+                    # identical inputs+rng on every shard -> pmean is an
+                    # exact no-op that (a) enforces the cross-replica sync
+                    # and (b) makes the value axis-invariant for lax.cond
+                    embed = jax.lax.pmean(embed, axis_name)
+                    bins = jax.lax.pmean(bins, axis_name)
                 return embed, embed, bins
 
             def no_init(_):
@@ -145,7 +151,11 @@ class EuclideanCodebook(nn.Module):
                                           self.codebook_size)
             if axis_name is not None:
                 # identical replacements on all replicas: take replica 0's
-                replacement = jax.lax.all_gather(replacement, axis_name)[0]
+                # (masked psum keeps the value axis-invariant)
+                is0 = jax.lax.axis_index(axis_name) == 0
+                replacement = jax.lax.psum(
+                    jnp.where(is0, replacement, jnp.zeros_like(replacement)),
+                    axis_name)
             self.embed.value = jnp.where(expired[:, None], replacement,
                                          self.embed.value)
 

@@ -138,6 +138,31 @@ class SynthesizerTrn(nn.Module):
         codes = self.quantizer.encode(x)[0]  # first (only) RVQ layer
         return jax.lax.stop_gradient(codes), jax.lax.stop_gradient(x)
 
+    def encode_masked(self, mel: jax.Array, lengths: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """Length-exact code extraction on PADDED buffers.
+
+        Zeroing each layer's activations beyond its valid length makes the
+        next conv see exactly the zero-padding a per-file exact-length run
+        (the reference's offline extractor, prepare/extract_vq.py:18-46)
+        would see — so bucketed static-shape extraction returns bit-identical
+        codes regardless of the pad content.  Valid lengths follow the torch
+        conv arithmetic: stride-2/k3/p1 maps L -> ceil(L/2).
+
+        Returns (codes (B, T_pad//4), code_lengths (B,)).
+        """
+        m0 = sequence_mask(lengths, mel.shape[1])[..., None]
+        h = self.vq_enc_norm(mel) * m0
+        h = jax.nn.silu(self.vq_enc_conv0(h))
+        l1 = (lengths + 1) // 2
+        h = h * sequence_mask(l1, h.shape[1])[..., None]
+        h = jax.nn.silu(self.vq_enc_conv1(h))
+        l2 = (l1 + 1) // 2
+        h = h * sequence_mask(l2, h.shape[1])[..., None]
+        x = self.vq_enc_conv2(h)
+        codes = self.quantizer.encode(x)[0]
+        return jax.lax.stop_gradient(codes), l2
+
     def forward_vq(self, mel: jax.Array, mel_lengths: jax.Array,
                    train: bool = True, axis_name: Optional[str] = None):
         """VQ-VAE stage (model_24k.py:654-666): returns (recon_loss, commit)."""

@@ -40,8 +40,17 @@ def _decode_wav_bytes(data: bytes, target_sr: int) -> np.ndarray:
 
     sr, wav = wavfile.read(io.BytesIO(data))
     wav = np.asarray(wav)
-    if wav.dtype != np.float32:
+    # scale per sample format (scipy returns the container dtype raw)
+    if wav.dtype == np.int16:
         wav = wav.astype(np.float32) / 32768.0
+    elif wav.dtype == np.int32:
+        wav = wav.astype(np.float32) / 2147483648.0
+    elif wav.dtype == np.uint8:  # unsigned with +128 offset
+        wav = (wav.astype(np.float32) - 128.0) / 128.0
+    elif wav.dtype in (np.float32, np.float64):
+        wav = wav.astype(np.float32)
+    else:
+        raise ValueError(f"unsupported wav sample format {wav.dtype}")
     if wav.ndim > 1:
         wav = wav[:, 0]
     if sr != target_sr:
@@ -115,9 +124,15 @@ def make_handler(server, sample_rate: int):
                 self._send_json(400, {"error": f"bad request: {e}"})
                 return
             try:
+                # submit() validates per-request (text, prompt length) so a
+                # malformed request 400s here instead of poisoning the batch
                 fut = server.submit(text, prompt,
                                     seed=int(req.get("seed", 0)),
                                     vq_only=bool(req.get("vq_only", False)))
+            except ValueError as e:
+                self._send_json(400, {"error": f"bad request: {e}"})
+                return
+            try:
                 wav = fut.result(timeout=float(req.get("timeout", 600.0)))
                 self._send(200, _encode_wav_bytes(wav, sample_rate),
                            "audio/wav")

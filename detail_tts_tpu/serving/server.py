@@ -64,10 +64,28 @@ class TTSServer:
 
     def submit(self, text: str, prompt_wav: np.ndarray, seed: int = 0,
                vq_only: bool = False) -> Future:
-        """Enqueue a request; returns a Future resolving to the wav."""
+        """Enqueue a request; returns a Future resolving to the wav.
+
+        Validates per-request here (raises ValueError) so one malformed
+        request cannot poison a whole dispatched batch: a sub-hop prompt
+        would make ``prepare_prompt`` throw inside the single batched
+        engine call and fail every grouped request's future.
+        """
         if not self._running:
             raise RuntimeError("server not started")
-        req = _Request(text, np.asarray(prompt_wav, np.float32), seed, vq_only)
+        if not isinstance(text, str) or not text.strip():
+            raise ValueError("text must be a non-empty string")
+        wav = np.asarray(prompt_wav, np.float32)
+        if wav.ndim != 1:
+            raise ValueError(f"prompt_wav must be 1-D mono, got shape "
+                             f"{wav.shape}")
+        hop = int(self.engine.cfg.data.hop_length)
+        if wav.shape[0] < hop:
+            raise ValueError(f"prompt_wav too short: {wav.shape[0]} samples "
+                             f"< one hop of {hop}")
+        if not np.isfinite(wav).all():
+            raise ValueError("prompt_wav contains non-finite samples")
+        req = _Request(text, wav, seed, vq_only)
         self._queue.put(req)
         return req.future
 

@@ -165,10 +165,13 @@ class Trainer:
     # ----------------------------------------------------------- checkpoint
 
     def save(self) -> None:
-        if _is_host0():
-            ckpt_lib.save_checkpoint(
-                os.path.join(self.logs_folder, "ckpt"), self.state,
-                int(self.state.step), keep=self.cfg.train.keep_ckpts)
+        # EVERY process must enter the Orbax save (sharded-array gather is
+        # collective; gating on host 0 deadlocks or truncates multi-host
+        # checkpoints).  Only ancillary file IO (metrics, wav dumps) is
+        # host-0-gated elsewhere.
+        ckpt_lib.save_checkpoint(
+            os.path.join(self.logs_folder, "ckpt"), self.state,
+            int(self.state.step), keep=self.cfg.train.keep_ckpts)
 
     def load(self, ckpt_dir: str, step: Optional[int] = None) -> "Trainer":
         self.state = ckpt_lib.restore_checkpoint(ckpt_dir, self.state, step)

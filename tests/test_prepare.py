@@ -64,6 +64,51 @@ def test_asr_to_jsonl_filters(tmp_path):
     assert n == len(rows) == 1
 
 
+def test_extract_vq_bucket_padding_matches_exact(tmp_path):
+    """Bucketed (silence-floor padded) extraction returns the SAME codes as
+    exact-length extraction: with 0.0 padding (a loud log-mel frame) the
+    unmasked conv stack perturbs the trailing codes — the MEL_MIN pad fix
+    keeps the boundary clean (advisor round-2 finding)."""
+    from scipy.io import wavfile
+
+    from detail_tts_tpu.audio.mel import MelFrontend
+    from detail_tts_tpu.config import small_test_config
+    from detail_tts_tpu.data.prepare import extract_vq
+    from detail_tts_tpu.models.synthesizer import SynthesizerTrn
+    from detail_tts_tpu.train.step import init_variables
+
+    cfg = small_test_config()
+    model = SynthesizerTrn(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+    sr = cfg.data.sampling_rate
+    # an awkward length: far from the 256-frame bucket boundary
+    wav = _speechy(sr, 1.37, seed=7) * 0.5
+    path = str(tmp_path / "a.wav")
+    wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+    jsonl = str(tmp_path / "d.jsonl")
+    with open(jsonl, "w") as f:
+        f.write(json.dumps({"path": path, "text": "yi1"}) + "\n")
+
+    n = extract_vq(jsonl, cfg, variables)
+    assert n == 1
+    bucketed = np.load(path + ".vq.npy")
+
+    # exact-length oracle: no padding at all
+    frontend = MelFrontend(cfg.data.sampling_rate, cfg.data.filter_length,
+                           cfg.data.hop_length, cfg.data.win_length,
+                           cfg.data.n_mel_channels, cfg.data.mel_fmin,
+                           cfg.data.mel_fmax)
+    wav_read = wavfile.read(path)[1].astype(np.float32) / 32768.0
+    n_frames = len(wav_read) // cfg.data.hop_length // 4 * 4
+    mel = frontend.mel_spectrogram(jnp.asarray(wav_read)[None])[:, :n_frames]
+    exact, _ = model.apply(variables, mel, method=SynthesizerTrn.encode)
+    exact = np.asarray(exact)[0]
+
+    assert bucketed.shape == exact.shape
+    np.testing.assert_array_equal(bucketed, exact)
+
+
 def test_typical_sampling_filters_atypical():
     from detail_tts_tpu.ops.sampling import apply_typical
 

@@ -45,12 +45,38 @@ def test_server_rejects_before_start_and_survives_errors():
         server.submit("a", _prompt(0))
     server.start()
     try:
-        # a hostile request (empty prompt) fails its future, not the server
-        bad = server.submit("yi1", np.zeros((0,), np.float32))
-        with pytest.raises(Exception):
-            bad.result(timeout=600)
+        # hostile requests are rejected AT SUBMIT (per-request isolation:
+        # they must never reach a batched engine call where the raised
+        # exception would fan out to every grouped future)
+        with pytest.raises(ValueError):
+            server.submit("yi1", np.zeros((0,), np.float32))  # empty
+        with pytest.raises(ValueError):
+            server.submit("yi1", _prompt(0)[:100])  # sub-hop prompt
+        with pytest.raises(ValueError):
+            server.submit("yi1", _prompt(0).reshape(2, -1))  # not mono
+        with pytest.raises(ValueError):
+            server.submit("   ", _prompt(0))  # blank text
+        with pytest.raises(ValueError):
+            bad = _prompt(0).copy()
+            bad[7] = np.nan
+            server.submit("yi1", bad)  # non-finite
         ok = server.synthesize("yi1 ju4", _prompt(1), timeout=600)
         assert np.isfinite(ok).all() and len(ok) > 0
     finally:
         server.stop()
     assert server._thread is None
+
+
+def test_server_bad_submit_does_not_poison_concurrent_batch():
+    """A malformed request arriving alongside good ones 400s alone; the
+    good requests in the same dispatch window still succeed."""
+    eng = _engine()
+    with TTSServer(eng, max_batch=4, max_wait_ms=2000.0) as server:
+        server.synthesize("ni3 hao3", _prompt(0), timeout=600)  # warm jit
+        futs = [server.submit("yi1", _prompt(1)),
+                server.submit("er4", _prompt(2))]
+        with pytest.raises(ValueError):
+            server.submit("san1", _prompt(3)[:10])  # would poison the batch
+        outs = [f.result(timeout=600) for f in futs]
+    for w in outs:
+        assert np.isfinite(w).all() and len(w) > 0

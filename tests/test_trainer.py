@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -129,6 +130,63 @@ def test_trainer_synth_eval_gpt(tmp_path):
     tr.train(max_steps=1, log_every=1)
     tr.data_iter.close()
     assert os.path.exists(str(tmp_path / "logs" / "sample-0.wav"))
+
+
+def test_synth_eval_tracks_weight_updates(tmp_path):
+    """Guard against a stale-engine regression: ``_run_synth_eval`` reuses
+    one cached TTSEngine across evals and swaps ``variables`` in — if the
+    swap (or its bias-cache invalidation) silently broke, evals would dump
+    stale-weight audio forever and today's tests would still pass."""
+    cfg = small_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, target="gpt",
+                                  gradient_accumulate_every=1, batch_size=2,
+                                  val_freq=100, save_freq=100))
+    jsonl = _make_dataset(tmp_path)
+    from detail_tts_tpu.train.trainer import Trainer
+
+    buckets = BucketSpec(crop_frames=96, crop_threshold=100,
+                         raw_buckets=(128,), text_buckets=(32,))
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs"), buckets=buckets,
+                 synth_eval=True)
+    tr.default_data(jsonl, num_threads=2)
+    batch = next(tr.data_iter)
+    tr.data_iter.close()
+
+    def first(key):
+        v = np.asarray(jax.device_get(batch[key]))[0]  # drop accum axis
+        return v[:1]
+
+    rng = jax.random.PRNGKey(7)
+    # a from-scratch gpt-target trainer still has the ZERO vq codebook
+    # (k-means init only runs on a vqvae train batch) — decode would map
+    # every code to the same vector and hide weight changes; give it
+    # non-trivial content like the parity fixtures do
+    vq_state = jax.tree_util.tree_map(lambda x: x, tr.state.vq_state)
+    cb = vq_state["quantizer"]["layer_0"]["codebook"]
+    cb["embed"] = jax.random.normal(jax.random.PRNGKey(1), cb["embed"].shape)
+    cb["embed_avg"] = cb["embed"]
+    cb["cluster_size"] = jnp.ones_like(cb["cluster_size"])
+    cb["inited"] = jnp.ones((), bool)
+
+    vars0 = {"params": tr.state.params, "vq_state": vq_state}
+    wav0 = np.asarray(tr._run_synth_eval(vars0, first, rng)[0])
+    # determinism baseline: same variables + rng -> identical audio
+    wav0b = np.asarray(tr._run_synth_eval(vars0, first, rng)[0])
+    np.testing.assert_array_equal(wav0, wav0b)
+
+    # simulate trained weights with an unmissable change to the GPT head:
+    # +20 logit bias on one code id makes sampling deterministic-ish toward
+    # it (a sign-flipped kernel is NOT enough — at random init the head
+    # logits are bias-dominated and top-p sampling picks identical tokens)
+    params1 = jax.tree_util.tree_map(lambda x: x, tr.state.params)
+    params1["gpt"]["mel_head"]["dense"]["bias"] = (
+        params1["gpt"]["mel_head"]["dense"]["bias"].at[42].add(20.0))
+    vars1 = {"params": params1, "vq_state": vq_state}
+    wav1 = np.asarray(tr._run_synth_eval(vars1, first, rng)[0])
+    assert (wav0.shape != wav1.shape
+            or not np.allclose(wav0, wav1)), "eval reused stale weights"
 
 
 def test_metrics_logger_media(tmp_path):
