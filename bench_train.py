@@ -87,6 +87,14 @@ def main():
     jax.device_get(metrics["loss" if "loss" in metrics else "loss_gen_all"])
     log(f"bench_train: compile+first step {time.perf_counter() - t0:.1f}s")
 
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        state, metrics = step(state, batch, jax.random.fold_in(rng, 999))
+        jax.device_get(metrics["loss" if "loss" in metrics else "loss_gen_all"])
+        jax.profiler.stop_trace()
+        log(f"bench_train: profiler trace written to {trace_dir}")
+
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))

@@ -43,6 +43,79 @@ def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
 
 
+class _Conv1dCore(nn.Module):
+    """Conv1d math with an MXU-friendly tap-matmul path.
+
+    Param names/shapes match flax ``nn.Conv`` (kernel (k, in/g, out), bias
+    (out,)) so checkpoints are layout-identical.
+
+    XLA's TPU lowering of 1-D convolutions runs far below matmul MFU (the
+    diffusion out_convs measured ~18% MFU in the round-3 trace).  For
+    stride-1, ungrouped convs with small kernels the exact same result is
+    ``sum_k shift(x, k*dil) @ kernel[k]`` — k ordinary dots the MXU tiles
+    well; the shifted reads fuse into the dot operands.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dilation: int
+    groups: int
+    use_bias: bool
+    kernel_init: Callable
+
+    # tap-matmul only when it is an exact rewrite and small enough to win;
+    # below ~64 channels the dots underfill MXU lanes and the conv lowering
+    # wins again (measured: the HiFi-GAN small-channel tail regressed
+    # 0.25s -> 0.36s under taps, the 768-ch diffusion stack gained 0.4s)
+    _TAP_MAX_K = 8
+    _TAP_MIN_CH = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, in_ch // self.groups, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        # nn.Conv promotion semantics: common dtype of input and params
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+
+        taps = (self.stride == 1 and self.groups == 1 and k <= self._TAP_MAX_K
+                and x.ndim == 3
+                and min(in_ch, self.features) >= self._TAP_MIN_CH)
+        if taps:
+            t_out = x.shape[1] + 2 * self.padding - (k - 1) * self.dilation
+            if t_out > 0:
+                xp = (jnp.pad(x, ((0, 0), (self.padding, self.padding), (0, 0)))
+                      if self.padding else x)
+                y = None
+                for i in range(k):
+                    off = i * self.dilation
+                    tap = jax.lax.slice_in_dim(xp, off, off + t_out, axis=1)
+                    d = jnp.dot(tap, kernel[i])
+                    y = d if y is None else y + d
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y
+
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NWC", "WIO", "NWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,), dimension_numbers=dn,
+            feature_group_count=self.groups)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv1d(nn.Module):
     """torch.nn.Conv1d equivalent on NTC tensors.
 
@@ -62,18 +135,17 @@ class Conv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.Conv(
+        return _Conv1dCore(
             features=self.features,
-            kernel_size=(self.kernel_size,),
-            strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            kernel_dilation=(self.dilation,),
-            feature_group_count=self.groups,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             name="conv",
         )(x)
-        return y
 
 
 class ConvTranspose1d(nn.Module):

