@@ -56,9 +56,10 @@ def main():
         str(cfg.train.gradient_accumulate_every)))
     if target in GAN_TARGETS:
         accum = 1
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train, target=target, batch_size=batch_size,
-        gradient_accumulate_every=accum))
+        gradient_accumulate_every=accum, remat_gpt=remat))
 
     log(f"bench_train: target={target} batch={batch_size} accum={accum} "
         f"platform={jax.devices()[0].platform}")

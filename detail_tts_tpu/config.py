@@ -45,7 +45,13 @@ class TrainConfig:
     text_weight: float = 0.01
     mel_weight: float = 1.0
     # TPU-specific additions (not in the reference):
-    use_bf16: bool = True  # bf16 activations with fp32 islands
+    # Explicit autocast-equivalent policy (the reference trains under
+    # accelerator.autocast() + TF32, train.py:37-38): matmul OPERANDS cast
+    # to bf16, everything else fp32 (nn/common.py matmul_dtype).  On TPU
+    # this is measured perf-NEUTRAL — XLA already runs fp32 dots at bf16
+    # MXU rate by default — but it pins the numerics policy explicitly
+    # (robust to precision=highest defaults, portable off-TPU).
+    use_bf16: bool = True
     remat_gpt: bool = True  # jax.checkpoint on GPT blocks (ref: grad ckpt, gpt/model.py:229)
 
 

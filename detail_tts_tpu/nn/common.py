@@ -9,7 +9,9 @@ Reference citations are given per class.
 """
 from __future__ import annotations
 
+import contextlib
 import math
+import threading
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -18,6 +20,41 @@ import jax.numpy as jnp
 import numpy as np
 
 LRELU_SLOPE = 0.1  # vqvae/modules/modules.py:13
+
+
+class _MatmulDtypeState(threading.local):
+    value = None
+
+
+_MM_DTYPE = _MatmulDtypeState()
+
+
+@contextlib.contextmanager
+def matmul_dtype(dtype):
+    """Mixed-precision context for matmul-class ops (Dense/Conv1d/Transpose).
+
+    Inside the context, matmul OPERANDS are cast to ``dtype`` (bf16) while
+    accumulation and outputs stay in the promoted input dtype via
+    ``preferred_element_type`` — the TPU equivalent of the reference's
+    ``accelerator.autocast()`` training (train.py:211 etc.): fp32
+    activations/norms/softmax islands, MXU-rate matmuls.  The flag is read
+    at TRACE time, so wrap the ``model.apply`` calls inside the jitted step
+    (train/step.py does).
+    """
+    prev = _MM_DTYPE.value
+    _MM_DTYPE.value = dtype
+    try:
+        yield
+    finally:
+        _MM_DTYPE.value = prev
+
+
+def _mm_operand_dtype(out_dtype):
+    """The operand dtype matmuls should use (AMP cast target or out_dtype)."""
+    d = _MM_DTYPE.value
+    if d is not None and jnp.issubdtype(out_dtype, jnp.floating):
+        return jnp.dtype(d)
+    return out_dtype
 
 
 def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
@@ -81,10 +118,15 @@ class _Conv1dCore(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
 
-        # nn.Conv promotion semantics: common dtype of input and params
+        # nn.Conv promotion semantics: common dtype of input and params;
+        # under matmul_dtype() the op runs in bf16 (fp32 MXU accumulation is
+        # implicit on TPU) and the output is cast back up — exactly torch
+        # autocast's conv behaviour, and VJP-consistent (mixed-dtype conv
+        # operands are not differentiable in jax)
         dtype = jnp.promote_types(x.dtype, kernel.dtype)
-        x = x.astype(dtype)
-        kernel = kernel.astype(dtype)
+        op_dtype = _mm_operand_dtype(dtype)
+        x = x.astype(op_dtype)
+        kernel = kernel.astype(op_dtype)
 
         taps = (self.stride == 1 and self.groups == 1 and k <= self._TAP_MAX_K
                 and x.ndim == 3
@@ -100,6 +142,7 @@ class _Conv1dCore(nn.Module):
                     tap = jax.lax.slice_in_dim(xp, off, off + t_out, axis=1)
                     d = jnp.dot(tap, kernel[i])
                     y = d if y is None else y + d
+                y = y.astype(dtype)
                 if bias is not None:
                     y = y + bias.astype(y.dtype)
                 return y
@@ -110,7 +153,7 @@ class _Conv1dCore(nn.Module):
             x, kernel, window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,), dimension_numbers=dn,
-            feature_group_count=self.groups)
+            feature_group_count=self.groups).astype(dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -175,15 +218,17 @@ class ConvTranspose1d(nn.Module):
         # Flip spatially, put dims as (k, in, out) for WIO.
         w = jnp.flip(kernel, axis=0).transpose(0, 2, 1)
         pad = self.kernel_size - 1 - self.padding
+        dtype = jnp.promote_types(x.dtype, w.dtype)
+        op_dtype = _mm_operand_dtype(dtype)
         y = jax.lax.conv_general_dilated(
-            x.astype(w.dtype),
-            w,
+            x.astype(op_dtype),
+            w.astype(op_dtype),
             window_strides=(1,),
             padding=[(pad, pad + self.output_padding)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-        return y + bias
+        ).astype(dtype)
+        return y + bias.astype(y.dtype)
 
 
 class TorchLayerNorm(nn.Module):
@@ -278,6 +323,27 @@ class GroupNorm32(nn.Module):
                               name="GroupNorm_0")(x)
 
 
+class _DenseCore(nn.Module):
+    """nn.Dense-compatible params (kernel (in, out), bias) with AMP support."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        op_dtype = _mm_operand_dtype(dtype)
+        y = jnp.dot(x.astype(op_dtype), kernel.astype(op_dtype)).astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Dense(nn.Module):
     """nn.Linear equivalent (kernel (in, out); converter transposes torch)."""
 
@@ -287,8 +353,8 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Dense(self.features, use_bias=self.use_bias,
-                        kernel_init=self.kernel_init, name="dense")(x)
+        return _DenseCore(self.features, use_bias=self.use_bias,
+                          kernel_init=self.kernel_init, name="dense")(x)
 
 
 class Embed(nn.Module):

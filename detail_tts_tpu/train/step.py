@@ -20,6 +20,7 @@ parallel/mesh.py).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -33,7 +34,14 @@ from detail_tts_tpu.config import Config
 from detail_tts_tpu.models.diffusion import DiffusionSchedule
 from detail_tts_tpu.models.discriminator import MultiPeriodDiscriminator
 from detail_tts_tpu.models.synthesizer import SynthesizerTrn, make_train_schedule
-from detail_tts_tpu.nn.common import slice_segments
+from detail_tts_tpu.nn.common import matmul_dtype, slice_segments
+
+
+def _amp_ctx_factory(cfg: Config):
+    """Autocast context for the step's forwards (TrainConfig.use_bf16)."""
+    if cfg.train.use_bf16:
+        return lambda: matmul_dtype(jnp.bfloat16)
+    return contextlib.nullcontext
 from detail_tts_tpu.train.losses import (discriminator_loss, feature_loss,
                                          generator_loss, kl_loss)
 from detail_tts_tpu.train.optim import (make_d_optimizer, make_optimizer,
@@ -142,8 +150,13 @@ def make_single_loss_step(model: SynthesizerTrn, cfg: Config,
     target = cfg.train.target
     tx = make_optimizer(cfg, target, clip_norm=1.0)
     schedule = make_train_schedule(cfg)
+    amp = _amp_ctx_factory(cfg)
 
     def loss_fn(params, vq_state, batch, rng):
+        with amp():
+            return _loss_fn(params, vq_state, batch, rng)
+
+    def _loss_fn(params, vq_state, batch, rng):
         variables = {"params": params, "vq_state": vq_state}
         new_vq = vq_state
         metrics = {}
@@ -233,8 +246,13 @@ def make_gan_step(model: SynthesizerTrn, disc: MultiPeriodDiscriminator,
     schedule = make_train_schedule(cfg)
     g_tx = make_optimizer(cfg, target, clip_norm=None)
     d_tx = make_d_optimizer(cfg)
+    amp = _amp_ctx_factory(cfg)
 
     def g_forward(params, vq_state, batch, rng, need_aux=True):
+        with amp():
+            return _g_forward(params, vq_state, batch, rng, need_aux)
+
+    def _g_forward(params, vq_state, batch, rng, need_aux=True):
         """Returns (FlowVAEOutputs, aux_losses, new_vq_state)."""
         variables = {"params": params, "vq_state": vq_state}
         f_rng, d_rng, drop_rng, vq_rng = jax.random.split(rng, 4)
@@ -274,7 +292,9 @@ def make_gan_step(model: SynthesizerTrn, disc: MultiPeriodDiscriminator,
         y_hat_det = jax.lax.stop_gradient(outs.y_hat_slice)
 
         def d_loss_fn(d_params):
-            d_r, d_g, _, _ = disc.apply({"params": d_params}, y_slice, y_hat_det)
+            with amp():
+                d_r, d_g, _, _ = disc.apply({"params": d_params}, y_slice,
+                                            y_hat_det)
             loss, _, _ = discriminator_loss(d_r, d_g)
             return loss
 
@@ -292,8 +312,9 @@ def make_gan_step(model: SynthesizerTrn, disc: MultiPeriodDiscriminator,
             y_hat_mel = frontend.mel_spectrogram(outs2.y_hat_slice[..., 0])
             # pad/trim to the sliced gt mel frame count
             y_hat_mel = y_hat_mel[:, :seg_frames]
-            _, d_g, fmap_r, fmap_g = disc.apply(
-                {"params": new_d_params}, y_slice, outs2.y_hat_slice)
+            with amp():
+                _, d_g, fmap_r, fmap_g = disc.apply(
+                    {"params": new_d_params}, y_slice, outs2.y_hat_slice)
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
             loss_kl = kl_loss(outs2.z_p, outs2.logs_q, outs2.m_p, outs2.logs_p,
                               outs2.y_mask) * cfg.train.c_kl
