@@ -499,6 +499,13 @@ _add("""
 扑:pu1 克:ke4 麻:ma2 将:jiang1 瑜:yu2 伽:jia1 999:x1
 """.replace("999:x1", "律:lv4"))
 
+_add("""
+习:xi2 享:xiang3 伟:wei3 恒:heng2 慎:shen4 旨:zhi3 杂:za2 漫:man4
+牌:pai2 环:huan2 碳:tan4 绕:rao4 腻:ni4 荡:dang4 谨:jin3 配:pei4
+醉:zui4 颗:ke1 食:shi2 饮:yin3 欲:yu4 释:shi4 鉴:jian4 隔:ge2 丰:feng1 顿:dun4 您:nin2 咱:zan2 啥:sha2 嘛:ma5 哟:yo5 哦:o4 呗:bei5 咋:za3
+488:x1
+""".replace("488:x1", "障:zhang4"))
+
 # ---------------------------------------------------------------------------
 # Phrase overrides for polyphones in context (pypinyin PHRASES_DICT
 # behaviour for common words; longest-match-first at lookup time).
