@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -18,6 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.nn.common import Conv1d, Dense, GroupNorm32
+
+
+def _round_up_8(x: int) -> int:
+    return -(-x // 8) * 8
 
 
 def relative_position_bucket(relative_position: jax.Array, num_buckets: int = 32,
@@ -174,6 +179,31 @@ class AttentionBlock(nn.Module):
             qkv = self.qkv(y)  # (B, T, 3C), layout [q|k|v] per head
             qkv = qkv.reshape(b, t, h, 3 * ch).transpose(0, 2, 1, 3)
             q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            # trainable flash-style kernel (custom VJP): same math with no
+            # (B, H, T, T) logits in HBM in either direction.  OFF by
+            # default: at the reference training shapes (T=496, H=16) XLA's
+            # fused logits path is already marginally faster (traced A/B:
+            # jit_step 1.42 s vs 1.46 s device — the kernel's pad/copy
+            # overhead outweighs the fusion savings).  Opt in with
+            # DTTS_TRAIN_ATTN=pallas for long-T training where the
+            # materialized logits dominate HBM traffic.
+            use_train_kernel = (
+                jax.default_backend() == "tpu" and mask is None
+                and bias is not None and not precomputed
+                and not self.is_initializing() and ch <= 128
+                and os.environ.get("DTTS_TRAIN_ATTN", "xla") == "pallas")
+            if use_train_kernel:
+                from detail_tts_tpu.ops.pallas.attention import (
+                    attention_train_padded)
+
+                a = attention_train_padded(
+                    q, k, v, bias.astype(jnp.float32),
+                    sm_scale=1.0 / math.sqrt(ch),
+                    block_q=min(256, _round_up_8(t)))
+                a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
+                return x + self.proj_out(a)
+
             scale = 1.0 / math.sqrt(math.sqrt(ch))
             logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
             if bias is not None:

@@ -149,6 +149,207 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
                               sm_scale=sm_scale, block_q=block_q,
                               interpret=interpret, bias_log2=bias_log2)
     return out[:, :, :t, :d]
+# ---------------------------------------------------------------------------
+# Trainable attention: custom-VJP with flash-style pallas backward kernels.
+#
+# Training cannot use the forward-only serving kernels (no VJP), so the
+# XLA path materialized (B, H, T, T) logits in HBM for forward AND backward
+# — at the diff-stage training shapes that logits traffic is the single
+# biggest block of step time.  Here both directions stay in VMEM:
+#   fwd: row-block kernel also emits per-row softmax sums l;
+#   bwd: dq/dbias kernel over row blocks, dk/dv kernel over column blocks,
+#        each recomputing its probability tile from (q, k, bias, l).
+# Math (log2 domain, no-max softmax as above):
+#   z = (q*c)k^T + b_log2,  s = exp2(z)/l,  out = s v
+#   dz = ln2 * s * (do v^T - delta),  delta = rowsum(do*out)
+#   dq = (dz k) c,  dk = dz^T (q c),  dv = s^T do,  db_log2 = sum_B dz
+# ---------------------------------------------------------------------------
+
+LN2 = 0.6931471805599453
+
+
+def _attn_fwd_train_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, *,
+                           sm_scale: float):
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    bias = bias_ref[0].astype(jnp.float32)
+    z = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias
+    p = jnp.exp2(jnp.minimum(z, _CLAMP))
+    l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    out = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (out / l).astype(o_ref.dtype)
+    l_ref[0, 0] = l  # (BQ, 1): trailing singleton keeps the block tiling legal
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, l_ref,
+                        delta_ref, dq_ref, dbias_ref, *, sm_scale: float):
+    b_idx = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale       # (BQ, D), pre-scaled
+    k = k_ref[0, 0].astype(jnp.float32)                   # (T, D)
+    v = v_ref[0, 0].astype(jnp.float32)                   # (T, D)
+    bias = bias_ref[0].astype(jnp.float32)                # (BQ, T)
+    do = do_ref[0, 0].astype(jnp.float32)                 # (BQ, D)
+    l = l_ref[0, 0].astype(jnp.float32)                   # (BQ, 1)
+    delta = delta_ref[0, 0].astype(jnp.float32)           # (BQ, 1)
+
+    z = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias
+    s = jnp.exp2(jnp.minimum(z, _CLAMP)) / l
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dz = (LN2 * s) * (dp - delta)                         # (BQ, T)
+    dq = jax.lax.dot_general(dz, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * sm_scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    # bias is shared over the batch; b is the innermost grid dim so the
+    # output tile stays resident and accumulates across b iterations
+    @pl.when(b_idx == 0)
+    def _init():
+        dbias_ref[0] = dz.astype(dbias_ref.dtype)
+
+    @pl.when(b_idx > 0)
+    def _acc():
+        dbias_ref[0] = dbias_ref[0] + dz.astype(dbias_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, l_ref,
+                         delta_ref, dk_ref, dv_ref, *, sm_scale: float):
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale        # (T, D)
+    k = k_ref[0, 0].astype(jnp.float32)                   # (BK, D)
+    v = v_ref[0, 0].astype(jnp.float32)                   # (BK, D)
+    bias = bias_ref[0].astype(jnp.float32)                # (T, BK)
+    do = do_ref[0, 0].astype(jnp.float32)                 # (T, D)
+    l = l_ref[0, 0].astype(jnp.float32)                   # (T, 1)
+    delta = delta_ref[0, 0].astype(jnp.float32)           # (T, 1)
+
+    z = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias
+    s = jnp.exp2(jnp.minimum(z, _CLAMP)) / l              # (T, BK)
+    dv = jax.lax.dot_general(s, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (T, BK)
+    dz = (LN2 * s) * (dp - delta)
+    dk = jax.lax.dot_general(dz, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def attention_train(q, k, v, bias, sm_scale, block_q=256, interpret=False):
+    """Differentiable bias-attention; q/k/v (B,H,T,D), bias (H,T,T) natural.
+
+    T must be a multiple of ``block_q`` and D a multiple of 64/128 — use
+    :func:`attention_train_padded` for arbitrary shapes.
+    """
+    out, _ = _attn_train_fwd(q, k, v, bias, sm_scale, block_q, interpret)
+    return out
+
+
+def _attn_train_fwd(q, k, v, bias, sm_scale, block_q, interpret):
+    b, h, t, d = q.shape
+    assert t % block_q == 0 and d % 64 == 0, (t, d)
+    c = sm_scale * LOG2E
+    bias2 = bias * jnp.asarray(LOG2E, bias.dtype)
+    grid = (h, t // block_q, b)
+    out, l = pl.pallas_call(
+        functools.partial(_attn_fwd_train_kernel, sm_scale=c),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, iq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, iq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, block_q, t), lambda hh, iq, bb: (hh, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda hh, iq, bb: (bb, hh, iq, 0)),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias2)
+    return out, (q, k, v, bias2, l, out)
+
+
+def _attn_train_bwd(sm_scale, block_q, interpret, res, do):
+    q, k, v, bias2, l, out = res
+    b, h, t, d = q.shape
+    c = sm_scale * LOG2E
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (B, H, T, 1)
+    grid = (h, t // block_q, b)
+    dq, dbias2 = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, sm_scale=c),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((h, t, t), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, iq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, iq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, block_q, t), lambda hh, iq, bb: (hh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda hh, iq, bb: (bb, hh, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, iq, bb: (bb, hh, iq, 0)),
+            pl.BlockSpec((1, block_q, t), lambda hh, iq, bb: (hh, iq, 0)),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias2, do, l, delta)
+
+    grid_kv = (h, t // block_q, b)
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, sm_scale=c),
+        out_shape=(jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t, d), q.dtype)),
+        grid=grid_kv,
+        in_specs=[
+            pl.BlockSpec((1, 1, t, d), lambda hh, ik, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, ik, bb: (bb, hh, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, ik, bb: (bb, hh, ik, 0)),
+            pl.BlockSpec((1, t, block_q), lambda hh, ik, bb: (hh, 0, ik)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, ik, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, 1), lambda hh, ik, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, 1), lambda hh, ik, bb: (bb, hh, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, ik, bb: (bb, hh, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda hh, ik, bb: (bb, hh, ik, 0)),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias2, do, l, delta)
+
+    dbias = dbias2 * LOG2E  # chain through bias2 = bias * log2(e)
+    return dq, dk, dv, dbias.astype(bias2.dtype)
+
+
+attention_train.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+def attention_train_padded(q, k, v, bias, *, sm_scale: float,
+                           block_q: int = 256, interpret: bool = False):
+    """Shape-safe trainable attention: pads T to a block multiple and D to
+    64/128; padded key columns masked via -1e9 bias, padded q rows sliced."""
+    b, h, t, d = q.shape
+    t_pad = _round_up(t, block_q)
+    d_pad = 64 if d <= 64 else _round_up(d, LANE)
+
+    def pad_qkv(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)))
+
+    bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
+    out = attention_train(pad_qkv(q), pad_qkv(k), pad_qkv(v), bias_p,
+                          sm_scale, block_q, interpret)
+    return out[:, :, :t, :d]
+
+
 def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                         sm_scale: float):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # scale on (BQ, Dp), not (BQ, T)

@@ -101,8 +101,15 @@ def init_variables(model: SynthesizerTrn, cfg: Config, rng: jax.Array,
     batch = dummy_batch(cfg, mel_frames=mel_frames)
     schedule = make_train_schedule(cfg)
     p_rng, d_rng, v_rng, m_rng = jax.random.split(rng, 4)
-    return model.init({"params": p_rng, "dropout": d_rng, "vq": v_rng},
-                      batch, schedule, m_rng, method=SynthesizerTrn.init_all)
+    # jit the init: eager flax init issues thousands of tiny device ops,
+    # which is pathological over the axon TPU tunnel (~8 min vs seconds).
+    # batch/schedule are closed over (DiffusionSchedule is not a pytree).
+    @jax.jit
+    def init_fn(rngs, m_rng):
+        return model.init(rngs, batch, schedule, m_rng,
+                          method=SynthesizerTrn.init_all)
+
+    return init_fn({"params": p_rng, "dropout": d_rng, "vq": v_rng}, m_rng)
 
 
 def make_train_state(cfg: Config, rng: jax.Array,
@@ -125,7 +132,8 @@ def make_train_state(cfg: Config, rng: jax.Array,
     d_params = d_opt_state = None
     if with_discriminator:
         seg = cfg.train.segment_size
-        d_vars = disc.init(d_rng, jnp.zeros((1, seg, 1)), jnp.zeros((1, seg, 1)))
+        d_vars = jax.jit(disc.init)(d_rng, jnp.zeros((1, seg, 1)),
+                                    jnp.zeros((1, seg, 1)))
         d_params = d_vars["params"]
         d_opt_state = make_d_optimizer(cfg).init(d_params)
 

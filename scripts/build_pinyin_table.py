@@ -507,9 +507,117 @@ _add("""
 """.replace("488:x1", "障:zhang4"))
 
 # ---------------------------------------------------------------------------
-# Phrase overrides for polyphones in context (pypinyin PHRASES_DICT
-# behaviour for common words; longest-match-first at lookup time).
+# Coverage extension (round 3): jieba's frequency dict (the only CJK corpus
+# statistic available in this environment) ranked all hanzi by corpus
+# frequency; every legitimate character in the top ~3500 that was neither
+# curated nor reachable by collation propagation is curated here (mojibake
+# artifacts from GBK-decoded entries in jieba's dict are excluded).
 # ---------------------------------------------------------------------------
+
+_add("""
+族:zu2 增:zeng1 型:xing2 属:shu3 构:gou4 料:liao4 占:zhan4 央:yang1 斗:dou4
+若:ruo4 杀:sha1 态:tai4 修:xiu1 效:xiao4 协:xie2 财:cai2 阶:jie1 害:hai4
+超:chao1 温:wen1 止:zhi3 执:zhi2 普:pu3 免:mian3 材:cai2 括:kuo4 乱:luan4
+尚:shang4 良:liang2 激:ji1 邦:bang1 欧:ou1 宜:yi2 块:kuai4 错:cuo4 够:gou4
+某:mou3 鲜:xian1 冷:leng3 训:xun4 否:fou3 督:du1 控:kong4 忽:hu1 纳:na4
+介:jie4 召:zhao4 暗:an4 扩:kuo4 恩:en1 届:jie4 植:zhi2 固:gu4 补:bu3
+唐:tang2 俄:e2 旧:jiu4 旁:pang2 牙:ya2 稳:wen3 概:gai4 托:tuo1 肯:ken3
+缺:que1 罢:ba4 嘴:zui3 巨:ju4 培:pei2 廷:ting2 脱:tuo1 繁:fan2 侵:qin1
+秀:xiu4 横:heng2 坏:huai4 坦:tan3 瞧:qiao2 播:bo1 延:yan2 访:fang3
+震:zhen4 殖:zhi2 吨:dun1 纷:fen1 仪:yi2 狐:hu2 融:rong2 抵:di3 塞:sai1
+液:ye4 偏:pian1 替:ti4 盟:meng2 挂:gua4 铺:pu4 鬼:gui3 纯:chun2 睛:jing1
+隆:long2 谋:mou2 奉:feng4 摆:bai3 措:cuo4 嘉:jia1 废:fei4 搞:gao3 胞:bao1
+俗:su2 阻:zu3 奏:zou4 孝:xiao4 裁:cai2 啦:la5 纺:fang3 丈:zhang4 泰:tai4
+剩:sheng4 申:shen1 贫:pin2 诺:nuo4 贡:gong4 爹:die1 贝:bei4 映:ying4
+骂:ma4 努:nu3 赞:zan4 患:huan4 伏:fu2 劲:jin4 贯:guan4 彻:che4 衡:heng2
+郎:lang2 磁:ci2 瑞:rui4 貌:mao4 毁:hui3 昨:zuo2 抽:chou1 尸:shi1 龄:ling2
+趣:qu4 浓:nong2 鸿:hong2 穷:qiong2 荒:huang1 戴:dai4 妙:miao4 胖:pang4
+趋:qu1 锦:jin3 悬:xuan2 摄:she4 戒:jie4 粗:cu1 狂:kuang2 偷:tou1 稍:shao1
+撞:zhuang4 堆:dui1 曼:man4 碎:sui4 魔:mo2 仗:zhang4 冈:gang1 菌:jun1
+暂:zan4 凝:ning2 恰:qia4 劝:quan4 莱:lai2 拟:ni3 姆:mu3 轰:hong1 粒:li4
+溶:rong2 魂:hun2 腊:la4 耐:nai4 辉:hui1 乳:ru3 陪:pei2 颇:po1 浅:qian3
+姊:zi3 惨:can3 添:tian1 详:xiang2 纤:xian1 柔:rou2 档:dang4 覆:fu4
+绣:xiu4 娃:wa2 扇:shan4 凯:kai3 锁:suo3 帐:zhang4 埋:mai2 壳:ke2
+挡:dang3 甜:tian2 玄:xuan2 谱:pu3 乾:qian2 填:tian2 钻:zuan1 徽:hui1
+扰:rao3 匹:pi3 穆:mu4 邀:yao1 芳:fang1 棒:bang4 耕:geng1 艘:sou1
+卵:luan3 滋:zi1 柴:chai2 碍:ai4 拨:bo1 挖:wa1 腔:qiang1 秒:miao3
+允:yun3 拆:chai1 辟:pi4 敦:dun1 厘:li2 悠:you1 妖:yao1 孟:meng4
+畅:chang4 迪:di2 搬:ban1 奈:nai4 辣:la4 幽:you1 耀:yao4 殷:yin1
+纠:jiu1 寸:cun4 弥:mi2 晃:huang4 吊:diao4 哩:li5 稿:gao3 娜:na4
+拼:pin1 欺:qi1 囊:nang2 堪:kan1 棺:guan1 俩:lia3 缝:feng2 藻:zao3
+辱:ru3 扯:che3 糕:gao1 漏:lou4 催:cui1 踪:zong1 杖:zhang4 腺:xian4
+绳:sheng2 漆:qi1 夷:yi2 阀:fa2 卑:bei1 仔:zi3 庸:yong1 瘦:shou4
+赐:ci4 扮:ban4 砂:sha1 刃:ren4 碱:jian3 钦:qin1 庞:pang2 叉:cha1
+泄:xie4 艾:ai4 蓉:rong2 夸:kua1 抖:dou3 瑶:yao2 袍:pao2 坑:keng1
+串:chuan4 锐:rui4 颤:chan4 滨:bin1 履:lv3 喀:ka1 扁:bian3 罕:han3
+磷:lin2 帕:pa4 镑:bang4 贞:zhen1 禧:xi3 妥:tuo3 筒:tong3 禀:bing3
+诱:you4 陀:tuo2 倡:chang4 矩:ju3 翠:cui4 煌:huang2 茂:mao4 氛:fen1
+戈:ge1 弗:fu2 悔:hui3 拐:guai3 鼎:ding3 幺:yao1 芬:fen1 蛮:man2
+醇:chun2 棍:gun4 宙:zhou4 酷:ku4 郧:yun2 欠:qian4 孕:yun4 姚:yao2
+昭:zhao1 盼:pan4 舆:yu2 斋:zhai1 脆:cui4 璋:zhang1 钉:ding1 棣:di4
+丫:ya1 宰:zai3 阐:chan3 挨:ai1 霖:lin2 哄:hong3 涔:cen2 戚:qi1
+擅:shan4 赌:du3 隋:sui2 肖:xiao4 饶:rao2 雇:gu4 罩:zhao4 丐:gai4
+誓:shi4 冤:yuan1 坤:kun1 屁:pi4 宛:wan3 矮:ai3 潭:tan2 渊:yuan1
+俺:an3 喇:la3 堵:du3 蒂:di4 颠:dian1 羞:xiu1 佐:zuo3 瞬:shun4
+挽:wan3 禅:chan2 屯:tun2 韵:yun4 肴:yao2 螺:luo2 凑:cou4 钧:jun1
+蜜:mi4 愧:kui4 栽:zai1 苯:ben3 肆:si4 尹:yin3 窄:zhai3 谭:tan2
+窟:ku1 瞪:deng4 蔬:shu1 糟:zao1 匾:bian3 妄:wang4 沔:mian3 耻:chi3
+旭:xu4 硅:gui1 雌:ci2 攀:pan1 惹:re3 裹:guo3 擒:qin2 鳞:lin2
+浣:huan4 叩:kou4 掀:xian1 屡:lv3 瞒:man2 璇:xuan2 厮:si1 钩:gou1
+隙:xi4 丞:cheng2 盯:ding1 爪:zhua3 阙:que4 彪:biao1 虹:hong2
+衍:yan3 甸:dian4 鳍:qi2 巩:gong3 熔:rong2 磕:ke1 焕:huan4 衷:zhong1
+捞:lao1 卦:gua4 蜡:la4 挪:nuo2 氯:lv4 晌:shang3 蹄:ti2 粑:ba1
+兀:wu4 缔:di4 蕴:yun4 勉:mian3 匀:yun2 灏:hao4 驼:tuo2 撕:si1
+愣:leng4 斌:bin1 麋:mi2 薛:xue1 缴:jiao3 寰:huan2 躯:qu1 颂:song4
+佑:you4 绑:bang3 仑:lun2 镖:biao1 钠:na4 妆:zhuang1 禾:he2 驴:lv2
+耍:shua3 娥:e2 啸:xiao4 骚:sao1 亨:heng1 勘:kan1 挫:cuo4 凿:zao2
+塌:ta1 咖:ka1 钙:gai4 框:kuang4 锥:zhui1 怡:yi2 魄:po4 橡:xiang4
+盏:zhan3 赦:she4 沼:zhao3 瑰:gui1 婉:wan3 卤:lu3 躁:zao4 淳:chun2
+凛:lin3 剖:pou1 蕲:qi2 姥:lao3 兜:dou1 璧:bi4 趟:tang4 裸:luo3
+粹:cui4 瞻:zhan1 乞:qi3 炕:kang4 垮:kua3 拘:ju1 笛:di2 鹃:juan1
+鞍:an1 犬:quan3 弧:hu2 腥:xing1 裘:qiu2 灿:can4 摧:cui1 棱:leng2
+梢:shao1 钊:zhao1 糯:nuo4 畔:pan4 缅:mian3 襟:jin1 拢:long3 胪:lu2
+叮:ding1 榨:zha4 沾:zhan1 枉:wang3 辜:gu1 瑟:se4 萍:ping2 嫣:yan1
+胺:an4 甩:shuai3 陂:bei1 钓:diao4 暑:shu3 傍:bang4 睹:du3 缁:zi1
+贬:bian3 胚:pei1 莎:sha1 囚:qiu2 藩:fan1 蹇:jian3 膊:bo2 恍:huang3
+绮:qi3 邵:shao4 耽:dan1 烫:tang4 昼:zhou4 勿:wu4 桓:huan2 歉:qian4
+膳:shan4 敛:lian3 狄:di2 沽:gu1 揪:jiu1 牡:mu3 锣:luo2 瀛:ying2
+缮:shan4 咀:ju3 雍:yong1 铲:chan3 厄:e4 弘:hong2 尴:gan1 衢:qu2
+垃:la1 郝:hao3 挠:nao2 莽:mang3 瑙:nao3 瞄:miao2 呐:na4 歹:dai3
+豚:tun2 魁:kui2 诧:cha4 鞑:da2 谎:huang3 尬:ga4 咒:zhou4 梭:suo1
+涅:nie4 杈:cha4 娟:juan1 敷:fu1 撇:pie3 氮:dan4 潇:xiao1 郢:ying3
+粪:fen4 谴:qian3 隧:sui4 簇:cu4 礁:jiao1 衮:gun3 濂:lian2 鲟:xun2
+彝:yi2 斐:fei3 卞:bian4 祁:qi2 耿:geng3 敞:chang3 汰:tai4 魅:mei4
+鞘:qiao4 讶:ya4 琐:suo3 滤:lv4 锰:meng3 瑚:hu2 稽:ji1 蒿:hao1
+煞:sha4 泵:beng4 拈:nian1 骡:luo2 肇:zhao4 砰:peng1 葫:hu2 梗:geng3
+僻:pi4 鳌:ao2 捆:kun3 跺:duo4 豁:huo4 睿:rui4 湛:zhan4 酥:su1
+眨:zha3 惕:ti4 岔:cha4 稼:jia4 邹:zou1 灞:ba4 匣:xia2 陋:lou4
+羌:qiang1 聂:nie4 莉:li4 芜:wu2 琛:chen1 扳:ban1 呕:ou3 酚:fen1
+蔗:zhe4 彬:bin1 拇:mu3 窥:kui1 羹:geng1 匕:bi3 哺:bu3 倪:ni2
+瞩:zhu3 檀:tan2 缀:zhui4 瞥:pie1 簿:bu4 缉:ji1 皋:gao1 楠:nan2
+萌:meng2 斡:wo4 烷:wan2 绽:zhan4 匙:chi2 谬:miu4 剌:la2 撮:cuo1
+熏:xun1 碾:nian3 亢:kang4 垦:ken3 彰:zhang1 梓:zi3 啪:pa1 诰:gao4
+驹:ju1 嗡:weng1 羁:ji1 汞:gong3 嚣:xiao1 辫:bian4 惭:can2 蠡:li2
+咧:lie3 漳:zhang1 孢:bao1 缕:lv3 炯:jiong3 嵩:song1 唬:hu3 濒:bin1
+鳙:yong1 筛:shai1 殉:xun4 霎:sha4 椭:tuo3 咯:lo5 眯:mi1 眶:kuang4
+鸪:gu1 靡:mi3 嘶:si1 孽:nie4 饵:er3 咚:dong1 敕:chi4 蔓:man4
+憋:bie1 鹧:zhe4 笃:du3 懿:yi4 骸:hai2 摹:mo2 磋:cuo1 吭:keng1
+拣:jian3 骞:qian1 乍:zha4 鳄:e4 酯:zhi3 绰:chuo4 渣:zha1 鸠:jiu1
+脓:nong2 闺:gui1 譬:pi4 钛:tai4 奎:kui2 揣:chuai3 茸:rong2 畸:ji1
+怦:peng1 靶:ba3 攒:zan3 蕾:lei3 馨:xin1 廖:liao4 葵:kui2 丕:pi1
+舜:shun4 鲨:sha1 逞:cheng3 诬:wu1 苟:gou3 廓:kuo4 镍:nie4 槛:kan3
+牟:mou2 鸳:yuan1 俏:qiao4 芥:jie4 麟:lin2 悼:dao4 楞:leng2 倭:wo1
+楷:kai3 柑:gan1 馈:kui4 孜:zi1 韬:tao1 鸯:yang1 蒯:kuai3 紊:wen3
+酰:xian1 佬:lao3 妮:ni1 蚌:bang4 沁:qin4 噶:ga2 剃:ti4 锭:ding4
+娑:suo1 琅:lang2 褂:gua4 轧:ya4 褶:zhe3 觑:qu4 篆:zhuan4 醛:quan2
+洽:qia4 绉:zhou4 扼:e4 簧:huang2 砥:di3 撬:qiao4 慑:she4 嗅:xiu4
+鲢:lian2 冉:ran3 胤:yin4 攘:rang3 蜿:wan1 裳:shang5 霄:xiao1
+瘾:yin3 捻:nian3 吆:yao1 瞰:kan4 竿:gan1 姹:cha4 隘:ai4 靴:xue1
+狸:li2 讥:ji1 擂:lei2 豌:wan1 秭:zi3 鲸:jing1 苛:ke1 镁:mei3
+梵:fan4 垛:duo3 颅:lu2 讧:hong4 咦:yi2 嘎:ga1 涕:ti4 俸:feng4
+纂:zuan3 嗜:shi4 札:zha2 噢:o1 锛:ben1 浜:bang1 澶:chan2 垱:dang4
+褰:qian1 簡:jian3 購:gou4 窦:dou4
+""")
 
 PHRASES = {}
 
@@ -957,6 +1065,26 @@ _phr("""
 难民:nan4 min2
 责难:ze2 nan4
 磨难:mo2 nan4
+""")
+
+_phr("""
+裂缝:lie4 feng4
+缝隙:feng4 xi4
+门缝:men2 feng4
+牛仔:niu2 zai3
+铺设:pu1 she4
+铺垫:pu1 dian4
+北斗:bei3 dou3
+漏斗:lou4 dou3
+烟斗:yan1 dou3
+要塞:yao4 sai4
+堵塞:du3 se4
+阻塞:zu3 se4
+闭塞:bi4 se4
+地壳:di4 qiao4
+复辟:fu4 bi4
+轧钢:zha2 gang1
+咯血:ka3 xie3
 """)
 
 # ---------------------------------------------------------------------------
