@@ -57,7 +57,15 @@ class T5RelativePositionBias(nn.Module):
         buckets = relative_position_bucket(rel, self.num_buckets, self.max_distance)
         table = self.param("embedding", nn.initializers.normal(1.0),
                            (self.num_buckets, self.heads))
-        values = jnp.take(table, buckets, axis=0)  # (L, L, H)
+        # one-hot matmul instead of jnp.take: identical forward values, but
+        # the table GRADIENT becomes an (N, L*L)@(L*L, H) MXU matmul instead
+        # of a 246k-update scatter-add — the scatter was 30% of the whole
+        # diff training step (13 blocks x 16 microbatches x 2.08 ms, traced).
+        # buckets are static, so the one-hot is loop-invariant and hoists
+        # out of the grad-accumulation scan.
+        onehot = (buckets[..., None] ==
+                  jnp.arange(self.num_buckets)).astype(table.dtype)
+        values = jnp.einsum("ijn,nh->ijh", onehot, table)  # (L, L, H)
         return values.transpose(2, 0, 1)[None] * self.scale
 
 
@@ -116,8 +124,6 @@ class AttentionBlock(nn.Module):
             use_pallas = (jax.default_backend() == "tpu" and mask is None
                           and precomputed)
         if use_pallas and not self.is_initializing():
-            import os
-
             from detail_tts_tpu.ops.pallas.attention import (
                 attention_packed, pad_bias, pick_block_q, row_block_attention)
 
@@ -141,12 +147,24 @@ class AttentionBlock(nn.Module):
                               ((0, 0), (0, 0), (0, 0), (0, dp - ch)))
                 wbp = jnp.pad(wb.reshape(h, 3, ch),
                               ((0, 0), (0, 0), (0, dp - ch)))
+                # plant 1.0 in v's first padding lane: the kernel then reads
+                # the softmax denominator out of its MXU value contraction
+                # (sum_lane) instead of a (BQ, T) VPU row-reduce.  OFF by
+                # default: traced A/B at serving shapes shows the kernel is
+                # MXU/VPU-balanced and pipelined — the row-reduce rides free
+                # under the matmuls (device attn 1.185s vs 1.160s baseline,
+                # i.e. the "saving" costs ~2%).  Kept for VPU-starved shapes.
+                sum_lane = ch if ch < dp and \
+                    os.environ.get("DTTS_ATTN_MXU_SUM", "0") == "1" else None
+                if sum_lane is not None:
+                    wbp = wbp.at[:, 2, sum_lane].set(1.0)
                 qkv = y @ wkp.reshape(c, h * 3 * dp).astype(y.dtype) \
                     + wbp.reshape(-1)
                 a = attention_packed(qkv, bias.astype(y.dtype), heads=h,
                                      sm_scale=1.0 / math.sqrt(ch),
                                      block_q=blk_q, interpret=interp,
-                                     bias_log2=precomputed)
+                                     bias_log2=precomputed,
+                                     sum_lane=sum_lane)
                 pwp = jnp.pad(pw[0].reshape(h, ch, c),
                               ((0, 0), (0, dp - ch), (0, 0))).reshape(h * dp, c)
                 return x + (a @ pwp.astype(a.dtype) + pb.astype(a.dtype))

@@ -351,7 +351,7 @@ def attention_train_padded(q, k, v, bias, *, sm_scale: float,
 
 
 def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                        sm_scale: float):
+                        sm_scale: float, sum_lane: Optional[int]):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # scale on (BQ, Dp), not (BQ, T)
     k = k_ref[0].astype(jnp.float32)        # (T, Dp)
     v = v_ref[0]                             # (T, Dp)
@@ -362,17 +362,29 @@ def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bias
     p = jnp.exp2(jnp.minimum(logits, _CLAMP))
-    l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if sum_lane is not None:
+        # v's padding lane ``sum_lane`` carries a constant 1.0 (planted in
+        # the projection bias by the caller), so the value contraction just
+        # computed the softmax denominator on the MXU — the (BQ, T) VPU
+        # row-reduce is replaced by a 128-lane masked pick.  The spurious
+        # 1.0 the division leaves in that output lane lands on zero-padded
+        # proj_out weight rows downstream.
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        l = jnp.sum(jnp.where(lane == sum_lane, out, 0.0), axis=-1,
+                    keepdims=True) + 1e-30
+    else:
+        l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     o_ref[0] = (out / l).astype(o_ref.dtype)
 
 
 def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
                      sm_scale: float, block_q: int = 256,
                      interpret: bool = False,
-                     bias_log2: bool = False) -> jax.Array:
+                     bias_log2: bool = False,
+                     sum_lane: Optional[int] = None) -> jax.Array:
     """Fully layout-preserving attention on lane-padded packed projections.
 
     qkv_flat: (B, T, H * 3 * 128) — channel order [head][q|k|v][128-padded
@@ -384,6 +396,11 @@ def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
     (block index 3*h + {0,1,2}), so neither the wrapper nor the kernel does
     any transpose or strided slice — the two operations Mosaic can't fuse
     and XLA pays ~25% of diffusion sampling time for.
+
+    ``sum_lane``: index of a padding lane of v that the caller filled with a
+    constant 1.0 (via the qkv projection bias) — lets the kernel read the
+    softmax denominator out of the MXU value contraction instead of running
+    a (BQ, T) VPU row-reduce.  Requires real head dim < 128.
     """
     b, t, hd = qkv_flat.shape
     d_pad = LANE
@@ -402,7 +419,8 @@ def attention_packed(qkv_flat: jax.Array, bias: jax.Array, *, heads: int,
     # bias-tile revisit pattern of the (h, q_block, batch) grid order.
     grid = (heads, n_q, b)
     out = pl.pallas_call(
-        functools.partial(_attn_packed_kernel, sm_scale=sm_scale),
+        functools.partial(_attn_packed_kernel, sm_scale=sm_scale,
+                          sum_lane=sum_lane),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, heads * d_pad),
                                        qkv_flat.dtype),
         grid=grid,

@@ -70,3 +70,29 @@ def test_attention_block_precomputed_bias_matches_inline():
     y_pre = blk.apply(variables, x, None, bias)
     np.testing.assert_allclose(np.asarray(y_inline), np.asarray(y_pre),
                                atol=1e-5)
+
+
+def test_packed_sum_lane_matches_vpu_sum():
+    """MXU-denominator mode (ones planted in a v padding lane) must equal
+    the in-kernel VPU row-reduce."""
+    from detail_tts_tpu.ops.pallas.attention import attention_packed
+
+    rng = np.random.default_rng(5)
+    b, h, t, d, dp = 2, 2, 96, 48, 128
+    qkv = np.zeros((b, t, h * 3 * dp), np.float32)
+    full = rng.normal(size=(b, t, h, 3, d)).astype(np.float32)
+    qkv_r = qkv.reshape(b, t, h, 3, dp)
+    qkv_r[..., :d] = full
+    qkv_ones = qkv_r.copy()
+    qkv_ones[:, :, :, 2, d] = 1.0  # the planted denominator lane
+    bias = jnp.asarray(rng.normal(size=(h, t, t)), jnp.float32)
+    sm = 1.0 / np.sqrt(d)
+
+    ref = attention_packed(jnp.asarray(qkv_r.reshape(b, t, -1)), bias,
+                           heads=h, sm_scale=sm, block_q=48, interpret=True)
+    out = attention_packed(jnp.asarray(qkv_ones.reshape(b, t, -1)), bias,
+                           heads=h, sm_scale=sm, block_q=48, interpret=True,
+                           sum_lane=d)
+    r = np.asarray(ref).reshape(b, t, h, dp)[..., :d]
+    o = np.asarray(out).reshape(b, t, h, dp)[..., :d]
+    np.testing.assert_allclose(r, o, atol=2e-5, rtol=1e-4)
