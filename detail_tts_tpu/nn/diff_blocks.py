@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from detail_tts_tpu.nn.common import Conv1d, Dense, GroupNorm32
+from detail_tts_tpu.nn.common import (Conv1d, Dense, GroupNorm32,
+                                      _mm_operand_dtype)
 
 
 def _round_up_8(x: int) -> int:
@@ -223,16 +224,26 @@ class AttentionBlock(nn.Module):
                 return x + self.proj_out(a)
 
             scale = 1.0 / math.sqrt(math.sqrt(ch))
-            logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale)
+            # matmul_dtype autocast covers Dense/Conv1d but not raw einsums;
+            # cast the attention dot OPERANDS like torch autocast does for
+            # bmm (fp32 einsums here ran at ~13 effective TFLOPs and were
+            # the largest block of the diff train step after the scatter
+            # fix).  Accumulation/softmax stay fp32.
+            mdt = _mm_operand_dtype(x.dtype)
+            logits = jnp.einsum("bhtd,bhsd->bhts",
+                                (q * scale).astype(mdt),
+                                (k * scale).astype(mdt),
+                                preferred_element_type=jnp.float32)
             if bias is not None:
                 if precomputed:  # log2-domain -> natural
                     bias = bias * jnp.asarray(1.0 / 1.4426950408889634,
                                               bias.dtype)
-                logits = logits + bias[None]
-            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+                logits = logits + bias[None].astype(jnp.float32)
+            w = jax.nn.softmax(logits, axis=-1)
             if mask is not None:
                 w = w * mask[:, None, None, :]
-            a = jnp.einsum("bhts,bhsd->bhtd", w, v)
+            a = jnp.einsum("bhts,bhsd->bhtd", w.astype(mdt), v.astype(mdt),
+                           preferred_element_type=jnp.float32).astype(x.dtype)
             a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
         return x + self.proj_out(a)
 

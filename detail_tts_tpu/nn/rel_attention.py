@@ -13,7 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from detail_tts_tpu.nn.common import Conv1d, TorchLayerNorm
+from detail_tts_tpu.nn.common import (Conv1d, TorchLayerNorm,
+                                      _mm_operand_dtype)
 
 
 def _relative_to_absolute(x: jax.Array) -> jax.Array:
@@ -71,7 +72,12 @@ class RelPosMultiHeadAttention(nn.Module):
         v = v.reshape(b, t_s, h, k_ch).transpose(0, 2, 1, 3)
 
         scale = 1.0 / math.sqrt(k_ch)
-        scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
+        # attention bmms follow the matmul_dtype autocast (torch autocast
+        # covers bmm/matmul); softmax and the skewing adds stay fp32
+        mdt = _mm_operand_dtype(x.dtype)
+        scores = jnp.einsum("bhtd,bhsd->bhts", (q * scale).astype(mdt),
+                            k.astype(mdt),
+                            preferred_element_type=jnp.float32)
 
         if self.window_size is not None:
             assert t_s == t_t, "relative attention requires self-attention"
@@ -83,19 +89,25 @@ class RelPosMultiHeadAttention(nn.Module):
                 "emb_rel_v", nn.initializers.normal(rel_stddev),
                 (1, 2 * self.window_size + 1, k_ch))
             key_rel = _get_relative_embeddings(emb_rel_k, t_t, self.window_size)
-            rel_logits = jnp.einsum("bhld,mrd->bhlr", q * scale, key_rel)
+            rel_logits = jnp.einsum("bhld,mrd->bhlr", (q * scale).astype(mdt),
+                                    key_rel.astype(mdt),
+                                    preferred_element_type=jnp.float32)
             scores = scores + _relative_to_absolute(rel_logits)
 
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
-        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         p = nn.Dropout(self.p_dropout, deterministic=deterministic)(p)
 
-        out = jnp.einsum("bhts,bhsd->bhtd", p, v)
+        out = jnp.einsum("bhts,bhsd->bhtd", p.astype(mdt), v.astype(mdt),
+                         preferred_element_type=jnp.float32)
         if self.window_size is not None:
             rel_weights = _absolute_to_relative(p)
             value_rel = _get_relative_embeddings(emb_rel_v, t_s, self.window_size)
-            out = out + jnp.einsum("bhlr,mrd->bhld", rel_weights, value_rel)
+            out = out + jnp.einsum("bhlr,mrd->bhld", rel_weights.astype(mdt),
+                                   value_rel.astype(mdt),
+                                   preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return Conv1d(self.out_channels, 1, name="conv_o")(out)

@@ -13,7 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from detail_tts_tpu.nn.common import Conv1d, Dense, mish
+from detail_tts_tpu.nn.common import (Conv1d, Dense, _mm_operand_dtype,
+                                      mish)
 
 
 class Conv1dGLU(nn.Module):
@@ -54,13 +55,19 @@ class StyleSelfAttention(nn.Module):
         q = Dense(self.n_head * d_k, name="w_qs")(x).reshape(b, t, self.n_head, d_k)
         k = Dense(self.n_head * d_k, name="w_ks")(x).reshape(b, t, self.n_head, d_k)
         v = Dense(self.n_head * d_k, name="w_vs")(x).reshape(b, t, self.n_head, d_k)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(self.hidden_dim)
+        # attention bmms follow the matmul_dtype autocast; softmax fp32
+        mdt = _mm_operand_dtype(x.dtype)
+        scores = jnp.einsum("bthd,bshd->bhts", q.astype(mdt), k.astype(mdt),
+                            preferred_element_type=jnp.float32
+                            ) / math.sqrt(self.hidden_dim)
         if mask is not None:  # mask: (B, T) with 1=valid
             bad = (mask[:, None, None, :] == 0)
             scores = jnp.where(bad, -jnp.inf, scores)
-        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         p = nn.Dropout(self.dropout, deterministic=deterministic)(p)
-        out = jnp.einsum("bhts,bshd->bthd", p, v).reshape(b, t, self.n_head * d_k)
+        out = jnp.einsum("bhts,bshd->bthd", p.astype(mdt), v.astype(mdt),
+                         preferred_element_type=jnp.float32
+                         ).astype(x.dtype).reshape(b, t, self.n_head * d_k)
         out = Dense(self.hidden_dim, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out + residual

@@ -97,6 +97,26 @@ class TTSEngine:
         batches are sharded over the ``data`` axis; single-chip serving
         passes mesh=None (the reference has no serving parallelism at all,
         its inference is batch-1 single-GPU, model_24k.py:774)."""
+        # Clamp serving knobs to the model's position-table capacity.  The
+        # GPT's learned position tables are finite (mel: max_mel_tokens + 2 +
+        # max_conditioning_inputs rows, text: max_text_tokens + 2 rows;
+        # gpt/model.py:355-358) and jnp.take fills out-of-range gathers with
+        # NaN — decoding past the table would corrupt the whole batch
+        # silently.  EngineConfig defaults are sized for the shipped 24k
+        # model; smaller models (tests) get the caps derived here.
+        mel_cap = cfg.gpt.max_mel_tokens
+        txt_cap = cfg.gpt.max_text_tokens
+        engine_cfg = dataclasses.replace(
+            engine_cfg,
+            max_generate_length=min(engine_cfg.max_generate_length, mel_cap),
+            text_buckets=tuple(
+                b for b in engine_cfg.text_buckets if b < txt_cap
+            ) + (txt_cap,) if engine_cfg.text_buckets[-1] > txt_cap
+            else engine_cfg.text_buckets,
+            code_buckets=tuple(
+                b for b in engine_cfg.code_buckets if b <= mel_cap
+            ) or (mel_cap,),
+        )
         self.cfg = cfg
         self.ecfg = engine_cfg
         self.mesh = mesh

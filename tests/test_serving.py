@@ -133,3 +133,27 @@ def test_bias_cache_lru_and_invalidation():
     # swapping weights invalidates
     eng.variables = dict(eng.variables)
     assert not eng._bias_cache
+
+
+def test_engine_clamps_to_position_table_capacity():
+    """EngineConfig defaults sized for the 24k model must not let a smaller
+    model decode past its learned position tables: jnp.take fills
+    out-of-range gathers with NaN, which silently corrupts the whole batch
+    (the torch reference would crash on the OOB index instead).  The engine
+    derives caps from GPTConfig at construction."""
+    cfg = small_test_config()  # max_mel_tokens=80, max_text_tokens=40
+    eng = random_engine(cfg, engine_cfg=EngineConfig(), fast=True)
+    assert eng.ecfg.max_generate_length <= cfg.gpt.max_mel_tokens
+    assert max(eng.ecfg.code_buckets) <= cfg.gpt.max_mel_tokens
+    assert max(eng.ecfg.text_buckets) <= cfg.gpt.max_text_tokens
+    # full-size model: the reference's serving settings pass through unchanged
+    from detail_tts_tpu.config import Config
+    full = EngineConfig()
+    assert Config().gpt.max_mel_tokens >= full.max_generate_length
+    # drive the worst case end-to-end: force a full-length decode with the
+    # DEFAULT engine config on the tiny model; output must be finite
+    sr = cfg.data.sampling_rate
+    wav = np.random.default_rng(7).uniform(-0.3, 0.3, sr).astype(np.float32)
+    outs = eng.synthesize_batch(["ni3 hao3 shi4 jie4"], [wav],
+                                rng=jax.random.PRNGKey(0), force_full=True)
+    assert np.isfinite(outs[0]).all() and len(outs[0]) > 0
