@@ -1,0 +1,87 @@
+"""matmul_dtype autocast coverage: the bf16 operand casts actually engage
+(outputs change vs fp32) and stay within bf16 round-off of the fp32 result.
+
+The context mirrors torch.cuda.amp.autocast as the reference's trainer uses
+it (train.py:171-178): matmul-class ops (Linear/Conv/bmm) run with bf16
+operands, accumulation and everything else (norms, softmax, losses) in
+fp32.  Coverage here is module-level — the attention einsums gained explicit
+operand casts (rel_attention/style_encoder/diff_blocks) that Dense/Conv1d's
+shared _mm_operand_dtype hook does not reach.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detail_tts_tpu.nn.common import Conv1d, Dense, matmul_dtype
+from detail_tts_tpu.nn.diff_blocks import AttentionBlock
+from detail_tts_tpu.nn.rel_attention import RelPosMultiHeadAttention
+from detail_tts_tpu.nn.style_encoder import StyleSelfAttention
+
+
+def _run(module, *args, **kwargs):
+    rng = jax.random.PRNGKey(0)
+    variables = module.init(rng, *args, **kwargs)
+    # randomize every param: zero-init layers (e.g. AttentionBlock's
+    # residual proj_out, diff_blocks.py) would otherwise mask the whole
+    # attention computation and make the cast invisible
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [jax.random.normal(k, l.shape, l.dtype) * 0.2
+              if jnp.issubdtype(l.dtype, jnp.floating) else l
+              for k, l in zip(keys, leaves)]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+    fp32 = module.apply(variables, *args, **kwargs)
+    with matmul_dtype(jnp.bfloat16):
+        amp = jax.jit(module.apply)(variables, *args, **kwargs)
+    return np.asarray(fp32), np.asarray(amp)
+
+
+def _check(fp32, amp):
+    # the cast must actually engage (bit-identical would mean the context
+    # was ignored) ...
+    assert not np.array_equal(fp32, amp), "autocast had no effect"
+    # ... while staying within bf16 round-off of the fp32 computation
+    scale = np.abs(fp32).max() + 1e-6
+    assert np.abs(fp32 - amp).max() / scale < 3e-2
+    assert amp.dtype == np.float32  # outputs stay fp32 (fp32 islands intact)
+
+
+def test_dense_autocast():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 64))
+    _check(*_run(Dense(32), x))
+
+
+def test_conv1d_autocast():
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 96, 64))
+    _check(*_run(Conv1d(128, 3, padding=1), x))        # tap path (ch >= 64)
+    _check(*_run(Conv1d(32, 3, padding=1), x))          # conv-op path
+
+
+def test_diffusion_attention_autocast():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 40, 64))
+    _check(*_run(AttentionBlock(64, 4, relative_pos_embeddings=True), x))
+
+
+def test_rel_pos_attention_autocast():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 40, 64))
+    _check(*_run(RelPosMultiHeadAttention(64, 64, 4), x, x))
+
+
+def test_style_attention_autocast():
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 40, 64))
+    _check(*_run(StyleSelfAttention(64, 4, 0.0), x))
+
+
+def test_autocast_scoped():
+    """Outside the context everything is bit-identical fp32 (the flag is
+    trace-time thread-local state; leaking it would silently degrade
+    numerics of later fp32 code)."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 24, 64))
+    m = Dense(32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    before = m.apply(v, x)
+    with matmul_dtype(jnp.bfloat16):
+        m.apply(v, x)
+    after = m.apply(v, x)
+    assert np.array_equal(np.asarray(before), np.asarray(after))
