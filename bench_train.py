@@ -47,7 +47,11 @@ def main():
     import dataclasses
 
     target = os.environ.get("BENCH_TARGET", "gpt")
-    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", "5"))
+    # 10 timed steps: the shared axon chip shows occasional multi-x wall
+    # spread on short windows (a 5-step gpt window has measured anywhere
+    # between 2.8 and 4.1 steps/s with IDENTICAL 238 ms device time in the
+    # trace) — a longer window plus the trace is the trustworthy signal.
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", "10"))
     cfg = small_test_config() if small else Config()
     batch_size = int(os.environ.get("BENCH_BATCH",
                                     "2" if small else str(cfg.train.batch_size)))
