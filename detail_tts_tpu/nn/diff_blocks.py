@@ -126,16 +126,45 @@ class AttentionBlock(nn.Module):
                           and precomputed)
         if use_pallas and not self.is_initializing():
             from detail_tts_tpu.ops.pallas.attention import (
-                attention_packed, pad_bias, pick_block_q, row_block_attention)
+                attention_packed, attention_packed_pairs, pad_bias,
+                pick_block_q, pick_block_q_paired, row_block_attention)
 
             interp = jax.default_backend() != "tpu"
             blk_q = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "0")) or \
                 pick_block_q(t)
             packed = os.environ.get("DTTS_ATTN_PACKED", "1") == "1"
+            paired = os.environ.get("DTTS_ATTN_PAIRED", "1") == "1"
             wk = self.qkv.variables["params"]["conv"]["kernel"]  # (1, C, 3C)
             wb = self.qkv.variables["params"]["conv"]["bias"]
             pw = self.proj_out.variables["params"]["conv"]["kernel"]  # (1,C,C)
             pb = self.proj_out.variables["params"]["conv"]["bias"]
+
+            if packed and paired and ch <= 64 and h % 2 == 0:
+                # Two heads per 128-lane block: at the trunk's head dim 48
+                # the one-head packing pads 48 -> 128 (2.67x matmul FLOPs);
+                # pair packing pads 48 -> 64 (1.33x), halving the qkv and
+                # proj_out matmuls — which the serving trace shows are the
+                # largest non-attention block of diffusion device time
+                # (1.25 ms/step/layer at (16, 1600, 768) @ (768, 6144)).
+                dh = 64
+                wkp = jnp.pad(wk.reshape(c, h, 3, ch),
+                              ((0, 0), (0, 0), (0, 0), (0, dh - ch)))
+                wkp = wkp.reshape(c, h // 2, 2, 3, dh).transpose(0, 1, 3, 2, 4)
+                wbp = jnp.pad(wb.reshape(h, 3, ch),
+                              ((0, 0), (0, 0), (0, dh - ch)))
+                wbp = wbp.reshape(h // 2, 2, 3, dh).transpose(0, 2, 1, 3)
+                qkv = y @ wkp.reshape(c, h // 2 * 3 * 128).astype(y.dtype) \
+                    + wbp.reshape(-1)
+                blk_qp = int(os.environ.get("DTTS_ATTN_BLOCK_Q", "0")) or \
+                    pick_block_q_paired(t)
+                a = attention_packed_pairs(qkv, bias.astype(y.dtype), heads=h,
+                                           sm_scale=1.0 / math.sqrt(ch),
+                                           block_q=blk_qp, interpret=interp,
+                                           bias_log2=precomputed)
+                pwp = jnp.pad(pw[0].reshape(h, ch, c),
+                              ((0, 0), (0, dh - ch), (0, 0)))
+                pwp = pwp.reshape(h // 2 * 2 * dh, c)
+                return x + (a @ pwp.astype(a.dtype) + pb.astype(a.dtype))
 
             if packed and ch <= 128:
                 # Zero-transpose path: head-dim padded to 128 INSIDE the qkv

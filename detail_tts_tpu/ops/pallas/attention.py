@@ -350,6 +350,108 @@ def attention_train_padded(q, k, v, bias, *, sm_scale: float,
     return out[:, :, :t, :d]
 
 
+def _attn_paired_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                        sm_scale: float):
+    """Two heads per grid step, packed into one 128-lane block.
+
+    q/k/v blocks are (BQ|T, 128) with head 2p in lanes [0, 64) and head
+    2p+1 in lanes [64, 128) (each real head dim <= 64, zero-padded).  A
+    lane mask on q zeroes the other head's lanes before each qk^T dot, so
+    one full-width MXU dot computes one head's logits exactly (the masked
+    lanes contribute 0).  The value contraction runs full-width too; the
+    final lane select keeps each head's own output columns.
+
+    Versus one-head-per-128-lane packing this halves the qkv projection
+    and proj_out matmuls OUTSIDE the kernel (the dominant non-attention
+    cost of the diffusion trunk at head dim 48: 768->3072 instead of
+    768->6144) and halves K/V HBM fetches (one K/V tile serves two
+    heads); in-kernel MXU/VPU work per head is unchanged.
+    """
+    half = LANE // 2
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, 128): [even|odd]
+    k = k_ref[0].astype(jnp.float32)             # (T, 128)
+    v = v_ref[0]                                  # (T, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    is_even = lane < half
+
+    out = None
+    for parity in (0, 1):
+        bias = bias_ref[parity].astype(jnp.float32)  # (BQ, T)
+        q_h = jnp.where(is_even if parity == 0 else ~is_even, q, 0.0)
+        logits = jax.lax.dot_general(
+            q_h, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias
+        p = jnp.exp2(jnp.minimum(logits, _CLAMP))
+        l = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+        res = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l   # (BQ, 128)
+        out = res if parity == 0 else jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, res.shape, 1) < half,
+            out, res)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def pick_block_q_paired(t: int) -> int:
+    """Paired kernel holds TWO (BQ, T) bias tiles + two logits tiles in
+    VMEM — cap the row block at 400 (vs 800 for the one-head kernel)."""
+    for bq in (400, 384, 320, 256, 200, 192, 160, 128):
+        if t % bq == 0:
+            return bq
+    return 256
+
+
+def attention_packed_pairs(qkv_flat: jax.Array, bias: jax.Array, *,
+                           heads: int, sm_scale: float,
+                           block_q: int = 256,
+                           interpret: bool = False,
+                           bias_log2: bool = False) -> jax.Array:
+    """Layout-preserving attention with TWO heads per 128-lane block.
+
+    qkv_flat: (B, T, (H//2) * 3 * 128) — channel order [head-pair][q|k|v]
+    [head 2p in lanes 0..63 | head 2p+1 in lanes 64..127], each head's
+    real dim (<= 64) zero-padded to 64.  bias: (H, T, T) pre-scaled.
+    Returns (B, T, (H//2) * 128) in the same paired lane layout.
+
+    Requires an even head count; see :func:`_attn_paired_kernel` for why
+    this halves the projection matmuls versus :func:`attention_packed`.
+    """
+    b, t, hd = qkv_flat.shape
+    assert heads % 2 == 0, heads
+    hp = heads // 2
+    assert hd == hp * 3 * LANE, (hd, heads)
+    sm_scale = sm_scale * LOG2E
+    if not bias_log2:
+        bias = bias * jnp.asarray(LOG2E, bias.dtype)
+    t_pad = _round_up(t, block_q)
+    if t_pad != t:
+        qkv_flat = jnp.pad(qkv_flat, ((0, 0), (0, t_pad - t), (0, 0)))
+    bias_p = pad_bias(bias, t, t_pad) if t_pad != t else bias
+    n_q = t_pad // block_q
+
+    grid = (hp, n_q, b)  # batch innermost: bias tile revisited, not re-fetched
+    out = pl.pallas_call(
+        functools.partial(_attn_paired_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, hp * LANE),
+                                       qkv_flat.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANE),
+                         lambda pp, iq, bb: (bb, iq, 3 * pp)),
+            pl.BlockSpec((1, t_pad, LANE),
+                         lambda pp, iq, bb: (bb, 0, 3 * pp + 1)),
+            pl.BlockSpec((1, t_pad, LANE),
+                         lambda pp, iq, bb: (bb, 0, 3 * pp + 2)),
+            # two (BQ, T) bias tiles — the pair's heads
+            pl.BlockSpec((2, block_q, t_pad), lambda pp, iq, bb: (pp, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, LANE),
+                               lambda pp, iq, bb: (bb, iq, pp)),
+        interpret=interpret,
+    )(qkv_flat, qkv_flat, qkv_flat, bias_p)
+    return out[:, :t]
+
+
 def _attn_packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                         sm_scale: float, sum_lane: Optional[int]):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # scale on (BQ, Dp), not (BQ, T)

@@ -25,3 +25,22 @@ def test_pallas_path_matches_xla_path():
     y_pallas = blk.apply(variables, x, None, bias, True)
     np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pallas),
                                atol=5e-4, rtol=2e-3)
+
+
+def test_pallas_paired_vs_unpaired_paths(monkeypatch):
+    """ch=48, even heads: the default paired-lane packing must match the
+    one-head-per-128-lane packing bit-for-bit up to reduction order."""
+    from tests.test_pallas_attention import LOG2E, randomize
+
+    blk = AttentionBlock(channels=96, num_heads=2, relative_pos_embeddings=True)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 200, 96)),
+                    jnp.float32)
+    variables = randomize(blk.init(jax.random.PRNGKey(1), x))
+    bias = blk.apply(variables, 200, method=AttentionBlock.bias_values) * LOG2E
+
+    monkeypatch.setenv("DTTS_ATTN_PAIRED", "1")
+    y_paired = blk.apply(variables, x, None, bias, True)
+    monkeypatch.setenv("DTTS_ATTN_PAIRED", "0")
+    y_unpaired = blk.apply(variables, x, None, bias, True)
+    np.testing.assert_allclose(np.asarray(y_paired), np.asarray(y_unpaired),
+                               atol=2e-5, rtol=1e-4)

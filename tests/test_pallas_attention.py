@@ -72,6 +72,57 @@ def test_attention_block_precomputed_bias_matches_inline():
                                atol=1e-5)
 
 
+def _pack_pairs(full, d, dh=64, dp=128):
+    """(B,T,H,3,d) -> (B,T,(H//2)*3*128) in the paired lane layout."""
+    b, t, h, _, _ = full.shape
+    arr = np.zeros((b, t, h, 3, dh), np.float32)
+    arr[..., :d] = full
+    # [pair][q|k|v][parity 0|1][64]
+    arr = arr.reshape(b, t, h // 2, 2, 3, dh).transpose(0, 1, 2, 4, 3, 5)
+    return arr.reshape(b, t, h // 2 * 3 * dp)
+
+
+def test_paired_kernel_matches_xla():
+    from detail_tts_tpu.ops.pallas.attention import attention_packed_pairs
+
+    rng = np.random.default_rng(11)
+    b, h, t, d = 2, 4, 96, 48
+    full = rng.normal(size=(b, t, h, 3, d)).astype(np.float32)
+    bias = jnp.asarray(rng.normal(size=(h, t, t)), jnp.float32)
+    sm = 1.0 / np.sqrt(d)
+
+    q = jnp.asarray(full[..., 0, :].transpose(0, 2, 1, 3))  # (B,H,T,d)
+    k = jnp.asarray(full[..., 1, :].transpose(0, 2, 1, 3))
+    v = jnp.asarray(full[..., 2, :].transpose(0, 2, 1, 3))
+    ref = _xla_attention(q, k, v, bias, sm)                  # (B,H,T,d)
+
+    out = attention_packed_pairs(jnp.asarray(_pack_pairs(full, d)), bias,
+                                 heads=h, sm_scale=sm, block_q=48,
+                                 interpret=True)             # (B,T,H//2*128)
+    o = np.asarray(out).reshape(b, t, h, 64)[..., :d].transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(ref), o, atol=2e-5, rtol=1e-4)
+
+
+def test_paired_kernel_padded_t():
+    """T not a block multiple: padded key columns must not leak weight."""
+    from detail_tts_tpu.ops.pallas.attention import attention_packed_pairs
+
+    rng = np.random.default_rng(12)
+    b, h, t, d = 1, 2, 70, 48
+    full = rng.normal(size=(b, t, h, 3, d)).astype(np.float32)
+    bias = jnp.asarray(rng.normal(size=(h, t, t)), jnp.float32)
+    sm = 1.0 / np.sqrt(d)
+    q = jnp.asarray(full[..., 0, :].transpose(0, 2, 1, 3))
+    k = jnp.asarray(full[..., 1, :].transpose(0, 2, 1, 3))
+    v = jnp.asarray(full[..., 2, :].transpose(0, 2, 1, 3))
+    ref = _xla_attention(q, k, v, bias, sm)
+    out = attention_packed_pairs(jnp.asarray(_pack_pairs(full, d)), bias,
+                                 heads=h, sm_scale=sm, block_q=64,
+                                 interpret=True)
+    o = np.asarray(out).reshape(b, t, h, 64)[..., :d].transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(ref), o, atol=2e-5, rtol=1e-4)
+
+
 def test_packed_sum_lane_matches_vpu_sum():
     """MXU-denominator mode (ones planted in a v padding lane) must equal
     the in-kernel VPU row-reduce."""
