@@ -231,9 +231,10 @@ class AttentionBlock(nn.Module):
             # trainable flash-style kernel (custom VJP): same math with no
             # (B, H, T, T) logits in HBM in either direction.  OFF by
             # default: at the reference training shapes (T=496, H=16) XLA's
-            # fused logits path is already marginally faster (traced A/B:
-            # jit_step 1.42 s vs 1.46 s device — the kernel's pad/copy
-            # overhead outweighs the fusion savings).  Opt in with
+            # fused logits path wins — re-measured AFTER the T5-scatter fix
+            # (traced A/B: jit_step 0.670 s XLA vs 0.852 s pallas device;
+            # the kernel's layout copies + bwd logits recompute cost more
+            # than the ~500-frame logits traffic saves).  Opt in with
             # DTTS_TRAIN_ATTN=pallas for long-T training where the
             # materialized logits dominate HBM traffic.
             use_train_kernel = (
