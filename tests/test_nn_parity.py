@@ -42,6 +42,34 @@ def test_grouped_conv1d_matches_torch(rng, np_rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_conv1d_tap_path_matches_torch(np_rng):
+    """The tap-matmul lowering (_Conv1dCore: stride-1, ungrouped, k<=8,
+    >=64 channels) must be an EXACT rewrite of the conv — including
+    dilation, which offsets each tap by i*dilation."""
+    for (k, d, pad) in [(1, 1, 0), (3, 1, 1), (5, 1, 2), (3, 2, 2),
+                        (5, 4, 8), (7, 1, 3)]:
+        x = np_rng.standard_normal((2, 40, 64)).astype(np.float32)
+        m = common.Conv1d(64, k, stride=1, padding=pad, dilation=d)
+        params = m.init(jax.random.PRNGKey(10 * k + d), x)
+        # confirm the path selection predicate (guards against a silent
+        # threshold change un-covering this test)
+        core = common._Conv1dCore(features=64, kernel_size=k, stride=1,
+                                  padding=pad, dilation=d, groups=1,
+                                  use_bias=True,
+                                  kernel_init=common.nn.initializers.zeros)
+        assert k <= core._TAP_MAX_K and 64 >= core._TAP_MIN_CH
+        y = m.apply(params, x)
+        w = np.asarray(params["params"]["conv"]["kernel"])
+        b = np.asarray(params["params"]["conv"]["bias"])
+        yt = F.conv1d(torch.from_numpy(x.transpose(0, 2, 1)),
+                      torch.from_numpy(w.transpose(2, 1, 0)),
+                      torch.from_numpy(b), stride=1, padding=pad, dilation=d)
+        assert y.shape == (2, yt.shape[2], 64), (k, d, pad)
+        np.testing.assert_allclose(np.asarray(y),
+                                   yt.numpy().transpose(0, 2, 1),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_conv_transpose1d_matches_torch(rng, np_rng):
     # the vq_dec config: k=3, stride=2, padding=1, output_padding=1
     # and the HiFi-GAN configs: (k=16,u=8,p=4), (k=8,u=4,p=2)

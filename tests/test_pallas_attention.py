@@ -147,3 +147,28 @@ def test_packed_sum_lane_matches_vpu_sum():
     r = np.asarray(ref).reshape(b, t, h, dp)[..., :d]
     o = np.asarray(out).reshape(b, t, h, dp)[..., :d]
     np.testing.assert_allclose(r, o, atol=2e-5, rtol=1e-4)
+
+
+def test_no_max_softmax_extreme_logits_finite():
+    """The NO-MAX exp2 softmax clamps at 2^100 instead of subtracting the
+    row max.  Extreme positive logits (far beyond any real activation
+    scale) must saturate to a uniform distribution over the clamped
+    columns — never overflow to inf/NaN — and strongly negative rows must
+    underflow to exactly 0 (the +1e-30 denominator guard), not NaN."""
+    b, h, t, d = 1, 2, 128, 64
+    q = jnp.ones((b, h, t, d), jnp.float32) * 30.0
+    k = jnp.ones((b, h, t, d), jnp.float32) * 30.0
+    v = jnp.broadcast_to(jnp.arange(t, dtype=jnp.float32)[None, None, :, None],
+                         (b, h, t, d))
+    # head 0: huge positive logits (qk ~ 900*d, way past the 2^100 clamp);
+    # head 1: -1e9 bias everywhere = a fully-suppressed row
+    bias = jnp.stack([jnp.zeros((t, t), jnp.float32),
+                      jnp.full((t, t), -1e9, jnp.float32)])
+    out = attention(q, k, v, bias, sm_scale=1.0 / np.sqrt(d), interpret=True)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    # clamped-uniform head: softmax over equal (clamped) logits = mean of v
+    np.testing.assert_allclose(o[0, 0], np.asarray(v)[0, 0].mean(0)[None]
+                               * np.ones((t, d), np.float32), rtol=1e-5)
+    # fully-suppressed head: weights underflow to 0 -> output exactly 0
+    np.testing.assert_allclose(o[0, 1], 0.0)
