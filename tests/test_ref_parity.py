@@ -577,6 +577,82 @@ def test_discriminator_and_gan_loss_parity(ref_and_jax):
     np.testing.assert_allclose(float(kl_ref), float(kl_j), rtol=1e-5)
 
 
+def test_kv_cache_decode_logits_parity(ref_and_jax):
+    """Teacher-forced logits equivalence of the KV-cached decode path.
+
+    The serving chain ``prefill_embeddings -> decode_prefill -> decode_step``
+    (models/gpt.py:259-291) must reproduce the training ``__call__``'s
+    ``mel_logits`` position by position: the training forward is pinned
+    against the torch reference (test_gpt_forward_parity), so equality here
+    transitively pins the cached path that actually samples the audio
+    (reference semantics: GPT2InferenceModel.forward, gpt/model.py:107-186 +
+    model_24k.py:782-799).  A position-offset, cache-mask or
+    dynamic_update_slice bug would shift every sampled distribution and
+    still pass the length-only serving tests.
+
+    Covers: full model size with converted weights, fp32 cache, a batch with
+    unequal text lengths (trailing stop_text_token padding), codes whose
+    padding region goes through set_mel_padding, and a cache whose max_len
+    exceeds the decoded sequence (cache-region masking).
+    """
+    from detail_tts_tpu.models.gpt import UnifiedVoice
+
+    G, model, variables, cfg = ref_and_jax
+    c = cfg.gpt
+    rng = np.random.default_rng(31)
+    b, t_cond, t_text, t_code = 2, 48, 12, 16
+    cond = rng.normal(-6, 2, (b, 128, t_cond)).astype(np.float32)
+    cond_len = np.array([t_cond, t_cond - 8], np.int32)
+    text = rng.integers(3, 200, (b, t_text)).astype(np.int32)
+    text[1, 8:] = c.stop_text_token  # unequal text lengths in one batch
+    codes = rng.integers(0, 8192, (b, t_code)).astype(np.int32)
+    # row 1 exercises the set_mel_padding stop-fill region
+    wav_len = np.array([t_code * 1024, (t_code - 5) * 1024], np.int32)
+
+    gpt_module = UnifiedVoice(cfg.gpt)
+    gpt_vars = {"params": variables["params"]["gpt"]}
+
+    # ---- oracle: the (torch-pinned) training forward's mel logits
+    _, _, mel_logits = gpt_module.apply(
+        gpt_vars, jnp.asarray(cond.transpose(0, 2, 1)), jnp.asarray(cond_len),
+        jnp.asarray(text), None, jnp.asarray(codes), jnp.asarray(wav_len),
+        deterministic=True)
+    mel_logits = np.asarray(mel_logits)  # (B, t_code + 2, V)
+
+    # ---- the decode-path inputs: replicate the training-side alignment
+    # (set_mel_padding stop-fill, +1 stop pad, start/stop build_aligned)
+    mel_lengths = wav_len // c.mel_length_compression
+    pos = np.arange(t_code)[None, :]
+    stopped = np.where(pos < (mel_lengths[:, None] + 1), codes,
+                       c.stop_mel_token)
+    mel_padded = np.pad(stopped, ((0, 0), (0, 1)),
+                        constant_values=c.stop_mel_token)
+    mel_inp = np.pad(mel_padded, ((0, 0), (1, 0)),
+                     constant_values=c.start_mel_token)  # (B, t_code + 2)
+
+    prefill = gpt_module.apply(
+        gpt_vars, jnp.asarray(cond.transpose(0, 2, 1)), jnp.asarray(cond_len),
+        jnp.asarray(text), method=UnifiedVoice.prefill_embeddings)
+    # cache deliberately LONGER than the sequence: positions past the write
+    # head must stay masked out of the attention
+    max_len = prefill.shape[1] + mel_inp.shape[1] + 7
+    cache = gpt_module.apply(gpt_vars, b, max_len, jnp.float32,
+                             method=UnifiedVoice.init_cache)
+    logits0, cache = gpt_module.apply(gpt_vars, prefill, cache,
+                                      method=UnifiedVoice.decode_prefill)
+    np.testing.assert_allclose(np.asarray(logits0), mel_logits[:, 0],
+                               atol=1e-4, rtol=1e-4)
+
+    step = jax.jit(lambda tok, p, cch: gpt_module.apply(
+        gpt_vars, tok, p, cch, method=UnifiedVoice.decode_step))
+    for j in range(1, mel_inp.shape[1]):
+        tok = jnp.asarray(mel_inp[:, j])
+        logits_j, cache = step(tok, jnp.full((b,), j, jnp.int32), cache)
+        np.testing.assert_allclose(
+            np.asarray(logits_j), mel_logits[:, j], atol=1e-4, rtol=1e-4,
+            err_msg=f"cached decode logits diverge at mel position {j}")
+
+
 def test_ddim_loop_bf16_serving_precision(ref_and_jax):
     """BASELINE budget check: bf16 weights/activations (the serving policy)
     keep the deterministic diffusion mel within L1 1e-2 of the reference's
