@@ -338,11 +338,99 @@ def ddim_sample_loop(schedule: DiffusionSchedule, model_fn: ModelFn,
     return x
 
 
+def dpmpp_2m_reference_sample_loop(model_fn: ModelFn, noise: jax.Array, *,
+                                   steps: int, guidance_scale: float = 2.0,
+                                   beta_0: float = 0.1 / 4,
+                                   beta_1: float = 20.0 / 4) -> jax.Array:
+    """The reference's ACTUAL DPM-Solver++(2M) path, exactly
+    (vqvae/utils/diffusion.py:487-581 + utils/dpm_solver.py):
+
+    * continuous linear ``NoiseScheduleVP`` with beta_0=0.1/4, beta_1=20/4
+      (dpm_solver.py:105-117: log alpha(t) = -t^2 (b1-b0)/4 - t b0/2);
+    * ``time_uniform`` steps: linspace(T=1.0, 1/total_N=1e-3, steps+1)
+      (dpm_solver.py:473-474, 1159-1160);
+    * the model evaluated at CONTINUOUS t*1000 (model_fn_prewrap,
+      diffusion.py:536; floats, not trained discrete indices);
+    * CONSTANT classifier-free guidance eps_u + k (eps_c - eps_u)
+      (model_wrapper classifier-free branch, dpm_solver.py:327-334) —
+      unlike the ancestral path's ramped k;
+    * UNCLIPPED data prediction x0 = (x - sigma eps)/alpha
+      (data_prediction_fn, dpm_solver.py:433-441; correcting_x0_fn=None);
+    * multistep order-2 'dpmsolver' updates with a first-order init and NO
+      model eval after the last update (sample(), dpm_solver.py:1172-1214;
+      steps=50 >= 10 so lower_order_final never triggers).
+
+    All per-step schedule scalars are precomputed host-side in float64 and
+    scanned over; each model eval is one 2B-batched CFG call.
+    """
+    if steps < 2:
+        raise ValueError("dpm++2m multistep needs steps >= 2")
+    ts = np.linspace(1.0, 1.0 / 1000.0, steps + 1)
+    log_alpha = -0.25 * ts ** 2 * (beta_1 - beta_0) - 0.5 * ts * beta_0
+    alpha = np.exp(log_alpha)
+    sigma = np.sqrt(1.0 - np.exp(2.0 * log_alpha))
+    lam = log_alpha - np.log(sigma)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+
+    b = noise.shape[0]
+
+    def eval_x0(x, i):
+        """Data prediction at time ts[i] (one CFG-batched net call)."""
+        t_model = jnp.full((b,), f32(ts * 1000.0)[i])
+        eps2, _ = model_fn(
+            jnp.concatenate([x, x], axis=0),
+            jnp.concatenate([t_model, t_model], axis=0),
+            jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)],
+                            axis=0))
+        eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2, axis=0)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        return (x - f32(sigma)[i] * eps) / f32(alpha)[i]
+
+    x = noise.astype(jnp.float32)
+    # init: DPM-Solver-1 from ts[0] to ts[1] (dpm_solver.py:566-577)
+    m_prev1 = eval_x0(x, 0)
+    h1 = lam[1] - lam[0]
+    x = f32(sigma[1] / sigma[0]) * x - f32(alpha[1] * np.expm1(-h1)) * m_prev1
+    m_prev0 = eval_x0(x, 1)
+
+    # multistep-2 updates to ts[2..steps]; scalars per target index i:
+    # h = lam[i]-lam[i-1], r0 = (lam[i-1]-lam[i-2])/h,
+    # x <- (sigma[i]/sigma[i-1]) x - alpha[i] expm1(-h) (m0 + D1/2),
+    # D1 = (m0 - m1)/r0   (multistep_dpm_solver_second_update, :824-832)
+    idx = np.arange(2, steps + 1)
+    h = lam[idx] - lam[idx - 1]
+    ratio = sigma[idx] / sigma[idx - 1]
+    aphi = alpha[idx] * np.expm1(-h)
+    r0 = (lam[idx - 1] - lam[idx - 2]) / h
+
+    def update(x, m0, m1, ratio_i, aphi_i, r0_i):
+        d1 = (m0 - m1) / r0_i
+        return ratio_i * x - aphi_i * (m0 + 0.5 * d1)
+
+    def step(carry, inp):
+        x, m0, m1 = carry
+        i, ratio_i, aphi_i, r0_i = inp
+        x = update(x, m0, m1, ratio_i, aphi_i, r0_i)
+        return (x, eval_x0(x, i), m0), None
+
+    # scan handles ts[2..steps-1] (update + eval); the final update to
+    # ts[steps] runs outside with NO trailing model eval, exactly like the
+    # reference's "We do not need to evaluate the final model value"
+    # (dpm_solver.py:1212-1213).
+    xs = (jnp.asarray(idx[:-1], jnp.int32), f32(ratio[:-1]), f32(aphi[:-1]),
+          f32(r0[:-1]))
+    (x, m_prev0, m_prev1), _ = jax.lax.scan(step, (x, m_prev0, m_prev1), xs)
+    return update(x, m_prev0, m_prev1, f32(ratio[-1]), f32(aphi[-1]),
+                  f32(r0[-1]))
+
+
 def dpmpp_2m_sample_loop(schedule: DiffusionSchedule, model_fn: ModelFn,
                          noise: jax.Array, *, cond_free_k: float = 0.0,
                          conditioning_free: bool = True) -> jax.Array:
-    """DPM-Solver++(2M) on the spaced schedule (replaces k_diffusion's
-    sample_dpmpp_2m, the reference's configured sampler, model_24k.py:583).
+    """DPM-Solver++(2M) on the spaced DISCRETE schedule with karras-style
+    sigmas and RAMPED guidance — a k-diffusion-flavoured variant kept as an
+    opt-in extension (``diffusion_sampler='dpmpp_2m_karras'``).  The
+    reference-faithful sampler is ``dpmpp_2m_reference_sample_loop``.
 
     Data-prediction multistep order-2 solver; the input noise is scaled by
     the initial sigma as in the k-diffusion wrapper (diffusion.py:487-540).

@@ -56,7 +56,9 @@ class EngineConfig:
     noise_scale: float = 0.667        # model_24k.py:858
     diffusion_temperature: float = 1.0
     # 'ancestral' is the reference's LIVE path (p_sample_loop, model_24k.py:489);
-    # 'dpmpp_2m' is its *configured* sampler (model_24k.py:583), 'ddim' extra.
+    # 'dpmpp_2m' is its *configured* sampler matched exactly (model_24k.py:583
+    # -> k_diffusion_sample_loop -> in-tree DPM_Solver, parity-tested);
+    # 'ddim' and 'dpmpp_2m_karras' (ramped-k discrete-karras variant) extra.
     diffusion_sampler: str = "ancestral"
     # Override cfg.diffusion.infer_steps (reference: 50).  Fewer steps trade
     # refinement quality for latency ~linearly (e.g. 25 + dpmpp_2m for a
@@ -235,6 +237,16 @@ class TTSEngine:
                     cond_free_k=cfg.diffusion.cond_free_k,
                     conditioning_free=True)
             elif ecfg.diffusion_sampler == "dpmpp_2m":
+                # the reference's CONFIGURED sampler, matched exactly
+                # (continuous linear NoiseScheduleVP + constant guidance +
+                # time_uniform multistep-2, diffusion.py:487-581)
+                from detail_tts_tpu.models.diffusion import (
+                    dpmpp_2m_reference_sample_loop)
+
+                mel_norm = dpmpp_2m_reference_sample_loop(
+                    model_fn, noise, steps=self.schedule.num_timesteps,
+                    guidance_scale=cfg.diffusion.cond_free_k)
+            elif ecfg.diffusion_sampler == "dpmpp_2m_karras":
                 from detail_tts_tpu.models.diffusion import dpmpp_2m_sample_loop
 
                 mel_norm = dpmpp_2m_sample_loop(

@@ -577,6 +577,59 @@ def test_discriminator_and_gan_loss_parity(ref_and_jax):
     np.testing.assert_allclose(float(kl_ref), float(kl_j), rtol=1e-5)
 
 
+def test_dpmpp_2m_sampler_loop_parity(ref_and_jax):
+    """The reference's CONFIGURED sampler (model_24k.py:583 'dpm++2m' ->
+    k_diffusion_sample_loop -> in-tree DPM_Solver on a continuous linear
+    NoiseScheduleVP with CONSTANT classifier-free guidance,
+    utils/diffusion.py:487-581) vs dpmpp_2m_reference_sample_loop, same
+    converted weights and same start noise.  The solver is deterministic,
+    so this pins the whole algorithm: the continuous schedule constants,
+    time_uniform spacing, t*1000 model times, constant-k CFG combine,
+    unclipped data prediction, and the multistep-2 update coefficients.
+    """
+    from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
+    from detail_tts_tpu.models.diffusion import dpmpp_2m_reference_sample_loop
+
+    G, model, variables, cfg = ref_and_jax
+    rng = np.random.default_rng(37)
+    b, t_code = 1, 6
+    t_mel = t_code * FRAMES_PER_CODE
+    latents = rng.normal(0, 1, (b, t_code, 768)).astype(np.float32)
+    refer = rng.normal(-6, 2, (b, 128, 48)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, 128, t_mel)).astype(np.float32)
+
+    with torch.no_grad():
+        cond_ref = G.diffusion.get_conditioning(torch.from_numpy(refer))
+        out_ref = _np(G.infer_diffuser.sample_loop(
+            G.diffusion, (b, 128, t_mel), noise=torch.from_numpy(noise),
+            model_kwargs={"aligned_conditioning": torch.from_numpy(latents),
+                          "conditioning_latent": cond_ref}))
+
+    def run(m):
+        cond = m.diffusion_conditioning(jnp.asarray(refer.transpose(0, 2, 1)))
+        code_emb = m.diffusion_code_embedding(jnp.asarray(latents), cond)
+        biases = m.diffusion_attention_biases(t_mel)
+
+        def model_fn(x, t_orig, conditioning_free):
+            if x.shape[0] == 2 * b:
+                return m.diffusion_cfg_step(x, t_orig, code_emb, biases)
+            cf = (jnp.zeros((x.shape[0],), bool) if conditioning_free is None
+                  else conditioning_free)
+            return m.diffusion_step(x, t_orig, code_emb, cf, biases)
+
+        return dpmpp_2m_reference_sample_loop(
+            model_fn, jnp.asarray(noise.transpose(0, 2, 1)),
+            steps=cfg.diffusion.infer_steps,
+            guidance_scale=cfg.diffusion.cond_free_k)
+
+    out_j = np.asarray(model.apply(variables, method=run))
+    l1 = float(np.mean(np.abs(out_ref.transpose(0, 2, 1) - out_j)))
+    print(f"dpm++2m loop mel L1 vs reference: {l1:.6f}")
+    assert l1 <= 1e-2, l1
+    np.testing.assert_allclose(out_ref.transpose(0, 2, 1), out_j,
+                               atol=5e-3, rtol=1e-2)
+
+
 def test_kv_cache_decode_logits_parity(ref_and_jax):
     """Teacher-forced logits equivalence of the KV-cached decode path.
 

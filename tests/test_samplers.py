@@ -48,7 +48,8 @@ def _model_fn(schedule):
     return fn
 
 
-@pytest.mark.parametrize("name", ["ancestral", "ddim", "dpmpp_2m"])
+@pytest.mark.parametrize("name", ["ancestral", "ddim", "dpmpp_2m_karras",
+                                  "dpmpp_2m"])
 def test_sampler_contracts_to_target(name):
     schedule = _schedule()
     fn = _model_fn(schedule)
@@ -58,9 +59,29 @@ def test_sampler_contracts_to_target(name):
                             cond_free_k=2.0, conditioning_free=False)
     elif name == "ddim":
         out = ddim_sample_loop(schedule, fn, noise)
-    else:
+    elif name == "dpmpp_2m_karras":
         out = dpmpp_2m_sample_loop(schedule, fn, noise,
                                    conditioning_free=False)
+    else:
+        # reference dpm++2m runs on its own CONTINUOUS linear VP schedule
+        # and calls the model at t*1000 floats: the analytic eps model must
+        # use that schedule's alpha/sigma (NoiseScheduleVP 'linear')
+        b0, b1 = 0.1 / 4, 20.0 / 4
+
+        def cont_fn(x, t_model, conditioning_free=None):
+            t = t_model.astype(jnp.float32) / 1000.0
+            log_a = -0.25 * t**2 * (b1 - b0) - 0.5 * t * b0
+            a = jnp.exp(log_a).reshape((-1,) + (1,) * (x.ndim - 1))
+            s = jnp.sqrt(1.0 - a**2)
+            eps = (x - a * TARGET) / s
+            return eps, -jnp.ones_like(x)
+
+        from detail_tts_tpu.models.diffusion import (
+            dpmpp_2m_reference_sample_loop)
+
+        out = dpmpp_2m_reference_sample_loop(
+            cont_fn, noise, steps=schedule.num_timesteps,
+            guidance_scale=2.0)
     out = np.asarray(out)
     assert out.shape == noise.shape
     assert np.isfinite(out).all()
