@@ -62,13 +62,15 @@ def main():
         accum = 1
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+    weight_norm = os.environ.get("BENCH_WN", "1") == "1"
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train, target=target, batch_size=batch_size,
         gradient_accumulate_every=accum, remat_gpt=remat,
-        use_bf16=use_bf16))
+        use_bf16=use_bf16, weight_norm=weight_norm))
 
     log(f"bench_train: target={target} batch={batch_size} accum={accum} "
-        f"bf16={use_bf16} platform={jax.devices()[0].platform}")
+        f"bf16={use_bf16} wn={weight_norm} "
+        f"platform={jax.devices()[0].platform}")
 
     t0 = time.perf_counter()
     state, model, disc = make_train_state(cfg, jax.random.PRNGKey(0))

@@ -53,6 +53,11 @@ class TrainConfig:
     # (robust to precision=highest defaults, portable off-TPU).
     use_bf16: bool = True
     remat_gpt: bool = True  # jax.checkpoint on GPT blocks (ref: grad ckpt, gpt/model.py:229)
+    # Torch-parity weight-norm (g, v) reparameterization on the convs the
+    # reference wraps (WN / HiFi-GAN ups / resblocks / MPD) — the gradient
+    # geometry matters for GAN stability.  Serving always uses folded
+    # kernels (nn/common.py weight_norm_reparam).
+    weight_norm: bool = True
 
 
 @dataclass(frozen=True)

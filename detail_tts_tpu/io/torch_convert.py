@@ -375,22 +375,37 @@ def translate_discriminator(name: str) -> Optional[Tuple[str, Callable]]:
             t_conv2d if leaf == "kernel" else t_id)
 
 
-def convert_discriminator_state_dict(sd: Dict[str, Any], template: Dict[str, Any]
+def convert_discriminator_state_dict(sd: Dict[str, Any], template: Dict[str, Any],
+                                     weight_norm: str = "fold"
                                      ) -> Tuple[Dict[str, Any], Dict[str, list]]:
     """torch D state dict -> the MPD ``params`` tree (pass the bare params
-    subtree as ``template``, i.e. ``disc.init(...)['params']``)."""
+    subtree as ``template``, i.e. ``disc.init(...)['params']``).
+
+    ``weight_norm``: 'fold' or 'reparam' (see convert_state_dict)."""
     import jax
 
-    sd = fold_weight_norm({k: _to_numpy(v) for k, v in sd.items()})
+    assert weight_norm in ("fold", "reparam"), weight_norm
+    sd = {k: _to_numpy(v) for k, v in sd.items()}
+    if weight_norm == "fold":
+        sd = fold_weight_norm(sd)
     converted: Dict[str, np.ndarray] = {}
     unmapped = []
     for name, value in sd.items():
-        tr = translate_discriminator(name)
+        lookup = name
+        wn_pair = (weight_norm == "reparam"
+                   and name.endswith((".weight_v", ".weight_g")))
+        if wn_pair:
+            lookup = name[: -len(".weight_v")] + ".weight"
+        tr = translate_discriminator(lookup)
         if tr is None:
             unmapped.append(name)
             continue
         path, fn = tr
-        converted[path] = fn(value)
+        if wn_pair:
+            path, value = _reparam_entry(name, path, fn, value)
+            converted[path] = value
+        else:
+            converted[path] = fn(value)
 
     missing = []
 
@@ -434,27 +449,60 @@ def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _reparam_entry(name: str, path: str, fn: Callable, value: np.ndarray):
+    """Route a torch ``weight_{g,v}`` entry onto our ``g``/``v`` leaves.
+
+    Our weight-norm layouts keep the normed channel axis LAST (see
+    nn/common.py::_wn_norm), so torch weight_v transposes exactly like the
+    plain weight and torch weight_g ((C,1,..) with torch dim=0) ravels to
+    our per-channel (C,) vector.
+    """
+    if not path.endswith("/kernel"):
+        raise ValueError(f"weight-normed entry {name} maps to non-kernel "
+                         f"path {path}")
+    base = path[: -len("kernel")]
+    if name.endswith(".weight_v"):
+        return base + "v", fn(value)
+    return base + "g", np.asarray(value, np.float32).reshape(-1)
+
+
 def convert_state_dict(sd: Dict[str, Any], template: Dict[str, Any],
-                       diffusion_layers: int = 10
+                       diffusion_layers: int = 10,
+                       weight_norm: str = "fold"
                        ) -> Tuple[Dict[str, Any], Dict[str, list]]:
     """torch state dict -> variables matching ``template``'s structure.
+
+    ``weight_norm``: 'fold' merges (weight_g, weight_v) into plain kernels
+    (serving); 'reparam' keeps them as our (g, v) training parameterization —
+    pass a template created under nn.common.weight_norm_reparam().
 
     Returns (variables, report) where report lists 'unmapped' reference names
     and 'missing' template paths that received no value.
     """
     import jax
 
-    sd = fold_weight_norm({k: _to_numpy(v) for k, v in sd.items()})
+    assert weight_norm in ("fold", "reparam"), weight_norm
+    sd = {k: _to_numpy(v) for k, v in sd.items()}
+    if weight_norm == "fold":
+        sd = fold_weight_norm(sd)
     converted: Dict[str, np.ndarray] = {}
     unmapped = []
     for name, value in sd.items():
-        tr = translate(name, diffusion_layers=diffusion_layers)
+        lookup = name
+        wn_pair = (weight_norm == "reparam"
+                   and name.endswith((".weight_v", ".weight_g")))
+        if wn_pair:
+            lookup = name[: -len(".weight_v")] + ".weight"
+        tr = translate(lookup, diffusion_layers=diffusion_layers)
         if tr is None:
             if not any(name.startswith(p) for p in IGNORED):
                 unmapped.append(name)
             continue
         path, fn = tr
-        v = fn(value)
+        if wn_pair:
+            path, v = _reparam_entry(name, path, fn, value)
+        else:
+            v = fn(value)
         if path.endswith("/inited"):
             v = np.asarray(v).reshape(()).astype(bool)
         converted[path] = v
@@ -495,8 +543,11 @@ def _k(k) -> str:
 
 
 def load_torch_checkpoint(path: str, cfg, save_msgpack: Optional[str] = None,
-                          allow_partial: bool = False):
+                          allow_partial: bool = False, reparam: bool = False):
     """Load a reference ``model-*.pt`` and return serving variables.
+
+    ``reparam=True`` keeps the torch weight-norm (g, v) parameterization
+    (for resuming training under TrainConfig.weight_norm); default folds.
 
     Fails hard when template leaves received no checkpoint value unless
     ``allow_partial=True`` (silent random-init subtrees must be opted into —
@@ -516,9 +567,11 @@ def load_torch_checkpoint(path: str, cfg, save_msgpack: Optional[str] = None,
             data = data[key]
             break
     model = SynthesizerTrn(cfg)
-    template = init_variables(model, cfg, jax.random.PRNGKey(0))
+    template = init_variables(model, cfg, jax.random.PRNGKey(0),
+                              weight_norm=reparam)
     variables, report = convert_state_dict(
-        data, template, diffusion_layers=cfg.diffusion.num_layers)
+        data, template, diffusion_layers=cfg.diffusion.num_layers,
+        weight_norm="reparam" if reparam else "fold")
     if report["unmapped"]:
         print(f"converter: {len(report['unmapped'])} unmapped entries "
               f"(first: {report['unmapped'][:5]})")

@@ -2,7 +2,9 @@
 
 Waveforms are (B, T, 1) NTC.  DiscriminatorP reshapes time into
 (time//period, period) and runs 2-D convs; DiscriminatorS runs grouped 1-D
-convs.  Weight norm is folded (see resblocks.py note).
+convs.  The reference weight-norms every conv (model_24k.py:303-353,
+381-392); under the weight_norm_reparam() training context these carry the
+same (g, v) parameterization, folded kernels otherwise.
 """
 from __future__ import annotations
 
@@ -12,7 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from detail_tts_tpu.nn.common import Conv1d, get_padding, leaky_relu
+from detail_tts_tpu.nn.common import (Conv1d, Conv2d, get_padding,
+                                       leaky_relu)
 
 
 class DiscriminatorP(nn.Module):
@@ -34,17 +37,19 @@ class DiscriminatorP(nn.Module):
         fmap = []
         pad = get_padding(self.kernel_size, 1)
         for i, ch in enumerate([32, 128, 512, 1024]):
-            x = nn.Conv(ch, kernel_size=(self.kernel_size, 1),
-                        strides=(self.stride, 1),
-                        padding=[(pad, pad), (0, 0)], name=f"conv_{i}")(x)
+            x = Conv2d(ch, kernel_size=(self.kernel_size, 1),
+                       strides=(self.stride, 1),
+                       padding=((pad, pad), (0, 0)), weight_norm=True,
+                       name=f"conv_{i}")(x)
             x = leaky_relu(x)
             fmap.append(x)
-        x = nn.Conv(1024, kernel_size=(self.kernel_size, 1), strides=(1, 1),
-                    padding=[(pad, pad), (0, 0)], name="conv_4")(x)
+        x = Conv2d(1024, kernel_size=(self.kernel_size, 1), strides=(1, 1),
+                   padding=((pad, pad), (0, 0)), weight_norm=True,
+                   name="conv_4")(x)
         x = leaky_relu(x)
         fmap.append(x)
-        x = nn.Conv(1, kernel_size=(3, 1), padding=[(1, 1), (0, 0)],
-                    name="conv_post")(x)
+        x = Conv2d(1, kernel_size=(3, 1), padding=((1, 1), (0, 0)),
+                   weight_norm=True, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -64,10 +69,11 @@ class DiscriminatorS(nn.Module):
             (1024, 5, 1, 1, 2),
         ]
         for i, (ch, k, s, g, p) in enumerate(specs):
-            x = Conv1d(ch, k, stride=s, groups=g, padding=p, name=f"conv_{i}")(x)
+            x = Conv1d(ch, k, stride=s, groups=g, padding=p,
+                       weight_norm=True, name=f"conv_{i}")(x)
             x = leaky_relu(x)
             fmap.append(x)
-        x = Conv1d(1, 3, padding=1, name="conv_post")(x)
+        x = Conv1d(1, 3, padding=1, weight_norm=True, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 

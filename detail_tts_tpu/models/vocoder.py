@@ -41,7 +41,7 @@ class HiFiGANGenerator(nn.Module):
             x = leaky_relu(x)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
-                                name=f"ups_{i}")(x)
+                                weight_norm=True, name=f"ups_{i}")(x)
             xs = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilation_sizes)):

@@ -57,6 +57,109 @@ def _mm_operand_dtype(out_dtype):
     return out_dtype
 
 
+class _WeightNormState(threading.local):
+    value = False
+
+
+_WN_REPARAM = _WeightNormState()
+
+
+@contextlib.contextmanager
+def weight_norm_reparam(enabled: bool = True):
+    """Train with the reference's weight-norm ``(g, v)`` parameterization.
+
+    The torch reference trains WN, HiFi-GAN and MPD convs under
+    ``torch.nn.utils.weight_norm`` (modules/modules.py:152-237,
+    model_24k.py:244/298-430): the stored parameters are a direction tensor
+    ``v`` and a per-channel magnitude ``g`` and the effective kernel is
+    ``g * v / ||v||``.  The gradient geometry of that reparameterization is
+    load-bearing for GAN stability, so training reproduces it exactly.
+
+    Inside this context, convs declared with ``weight_norm=True`` (only the
+    call sites the reference wraps) create ``v``/``g`` params instead of
+    ``kernel``.  The flag is read at TRACE time — wrap both ``init`` and the
+    train-step ``apply`` (train/step.py does).  Serving never enables it and
+    keeps folded kernels (io/torch_convert.py folds at conversion); use
+    ``fold_weight_norm_tree`` / ``unfold_weight_norm_tree`` to move a
+    checkpoint between the two parameterizations.
+    """
+    prev = _WN_REPARAM.value
+    _WN_REPARAM.value = enabled
+    try:
+        yield
+    finally:
+        _WN_REPARAM.value = prev
+
+
+def _wn_norm(v: jax.Array) -> jax.Array:
+    """fp32 L2 norm of ``v`` over all axes except the last (per out-channel).
+
+    Every kernel layout here keeps the weight-norm channel axis LAST
+    (Conv1d (k, in, out); ConvTranspose1d (k, out, in) — torch norms
+    transposed convs per INPUT channel, dim=0 of its (in, out, k) weight;
+    Conv2d (kh, kw, in, out)), so one rule covers all three.
+    """
+    v32 = v.astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(jnp.square(v32), axis=tuple(range(v.ndim - 1))))
+
+
+def _wn_params(module: nn.Module, shape: Tuple[int, ...],
+               kernel_init: Callable) -> jax.Array:
+    """Declare ``v``/``g`` and return the effective fp32 kernel.
+
+    ``g`` initializes to ``||v||`` so the effective initial weight equals the
+    plain-kernel init (torch ``weight_norm`` wraps an initialized conv the
+    same way; the reference's later ``apply(init_weights)`` on wrapped convs
+    is a no-op because the pre-forward hook recomputes ``weight`` from g, v).
+    """
+    v = module.param("v", kernel_init, shape)
+    g = module.param("g", lambda rng: _wn_norm(v))
+    return v.astype(jnp.float32) * (
+        g.astype(jnp.float32) / jnp.maximum(_wn_norm(v), 1e-12))
+
+
+def fold_weight_norm_tree(tree):
+    """Replace every ``{v, g}`` conv entry with the folded ``kernel``.
+
+    Converts a params tree created under :func:`weight_norm_reparam` into
+    the serving parameterization (exact forward equivalence).
+    """
+    def rec(node):
+        if isinstance(node, dict):
+            if "v" in node and "g" in node and "kernel" not in node:
+                rest = {k: rec(x) for k, x in node.items()
+                        if k not in ("v", "g")}
+                v, g = jnp.asarray(node["v"]), jnp.asarray(node["g"])
+                kernel = v.astype(jnp.float32) * (
+                    g.astype(jnp.float32) / jnp.maximum(_wn_norm(v), 1e-12))
+                return {"kernel": kernel.astype(v.dtype), **rest}
+            return {k: rec(x) for k, x in node.items()}
+        return node
+    return rec(tree)
+
+
+def unfold_weight_norm_tree(tree, template):
+    """Split folded ``kernel`` entries into ``{v, g}`` where ``template``
+    (a tree created under :func:`weight_norm_reparam`) has them.
+
+    ``g = ||w||``, ``v = w`` — the identity torch ``weight_norm`` applies
+    when wrapping an existing conv; lets a folded (serving / converted)
+    checkpoint resume reparameterized training.
+    """
+    def rec(node, tmpl):
+        if isinstance(node, dict):
+            if ("kernel" in node and isinstance(tmpl, dict)
+                    and "v" in tmpl and "g" in tmpl and "kernel" not in tmpl):
+                rest = {k: rec(x, tmpl.get(k)) for k, x in node.items()
+                        if k != "kernel"}
+                w = node["kernel"]
+                return {"v": w, "g": _wn_norm(jnp.asarray(w)), **rest}
+            return {k: rec(x, tmpl.get(k) if isinstance(tmpl, dict) else None)
+                    for k, x in node.items()}
+        return node
+    return rec(tree, template)
+
+
 def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
     """(B,) lengths -> (B, T) bool mask (commons.py:144).
 
@@ -101,6 +204,7 @@ class _Conv1dCore(nn.Module):
     groups: int
     use_bias: bool
     kernel_init: Callable
+    weight_norm: bool = False
 
     # tap-matmul only when it is an exact rewrite and small enough to win;
     # below ~64 channels the dots underfill MXU lanes and the conv lowering
@@ -113,8 +217,11 @@ class _Conv1dCore(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.kernel_size
         in_ch = x.shape[-1]
-        kernel = self.param("kernel", self.kernel_init,
-                            (k, in_ch // self.groups, self.features))
+        shape = (k, in_ch // self.groups, self.features)
+        if self.weight_norm and _WN_REPARAM.value:
+            kernel = _wn_params(self, shape, self.kernel_init)
+        else:
+            kernel = self.param("kernel", self.kernel_init, shape)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
 
@@ -175,6 +282,9 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
+    # the reference wraps this conv in torch weight_norm; (g, v) params
+    # under the weight_norm_reparam() training context, folded otherwise
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -187,6 +297,7 @@ class Conv1d(nn.Module):
             groups=self.groups,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
+            weight_norm=self.weight_norm,
             name="conv",
         )(x)
 
@@ -205,15 +316,18 @@ class ConvTranspose1d(nn.Module):
     stride: int = 1
     padding: int = 0
     output_padding: int = 0
+    # torch weight_norm on ConvTranspose1d norms dim=0 of its (in, out, k)
+    # weight — PER INPUT CHANNEL, which is the last axis of our layout
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel_size, self.features, in_features),
-        )
+        shape = (self.kernel_size, self.features, in_features)
+        if self.weight_norm and _WN_REPARAM.value:
+            kernel = _wn_params(self, shape, nn.initializers.lecun_normal())
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         # Flip spatially, put dims as (k, in, out) for WIO.
         w = jnp.flip(kernel, axis=0).transpose(0, 2, 1)
@@ -229,6 +343,46 @@ class ConvTranspose1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
         ).astype(dtype)
         return y + bias.astype(y.dtype)
+
+
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d equivalent on NHWC tensors, weight-norm-capable.
+
+    Param layout matches flax ``nn.Conv`` (kernel (kh, kw, in, out), bias)
+    so existing checkpoints are path-identical; unlike ``nn.Conv`` it
+    supports the (g, v) reparameterization (the reference weight-norms every
+    DiscriminatorP conv, model_24k.py:303-353) and the AMP operand cast
+    that the 1-D convs here already honour.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0))
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        shape = (kh, kw, x.shape[-1], self.features)
+        if self.weight_norm and _WN_REPARAM.value:
+            kernel = _wn_params(self, shape, self.kernel_init)
+        else:
+            kernel = self.param("kernel", self.kernel_init, shape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = jnp.promote_types(x.dtype, kernel.dtype)
+        op_dtype = _mm_operand_dtype(dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(op_dtype), kernel.astype(op_dtype),
+            window_strides=self.strides,
+            padding=[tuple(p) for p in self.padding],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class TorchLayerNorm(nn.Module):

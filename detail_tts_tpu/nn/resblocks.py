@@ -1,8 +1,9 @@
 """HiFi-GAN residual blocks (vqvae/modules/modules.py:240-379), NTC layout.
 
 Weight norm from the torch reference is folded into plain kernels at
-checkpoint-conversion time; training here regularises through the optimizer
-instead (documented deviation — inference math is identical).
+checkpoint-conversion time for serving; under the weight_norm_reparam()
+training context the convs carry the reference's (g, v) parameterization
+(modules.py:245-379 wraps every resblock conv).
 """
 from __future__ import annotations
 
@@ -26,12 +27,14 @@ class ResBlock1(nn.Module):
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        padding=get_padding(self.kernel_size, d), name=f"convs1_{j}")(xt)
+                        padding=get_padding(self.kernel_size, d),
+                        weight_norm=True, name=f"convs1_{j}")(xt)
             xt = leaky_relu(xt)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=1,
-                        padding=get_padding(self.kernel_size, 1), name=f"convs2_{j}")(xt)
+                        padding=get_padding(self.kernel_size, 1),
+                        weight_norm=True, name=f"convs2_{j}")(xt)
             x = x + xt
         if x_mask is not None:
             x = x * x_mask
@@ -50,7 +53,8 @@ class ResBlock2(nn.Module):
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        padding=get_padding(self.kernel_size, d), name=f"convs_{j}")(xt)
+                        padding=get_padding(self.kernel_size, d),
+                        weight_norm=True, name=f"convs_{j}")(xt)
             x = x + xt
         if x_mask is not None:
             x = x * x_mask

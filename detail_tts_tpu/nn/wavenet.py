@@ -27,7 +27,8 @@ class WN(nn.Module):
         g_all = None
         if g is not None and self.gin_channels > 0:
             # cond_layer: 1x1 conv over the (length-1) global vector.
-            g_all = Conv1d(2 * self.hidden_channels * self.n_layers, 1, name="cond_layer")(
+            g_all = Conv1d(2 * self.hidden_channels * self.n_layers, 1,
+                           weight_norm=True, name="cond_layer")(
                 g[:, None, :]
             )  # (B, 1, 2H*n_layers)
 
@@ -36,7 +37,8 @@ class WN(nn.Module):
             padding = (self.kernel_size * dilation - dilation) // 2
             x_in = Conv1d(
                 2 * self.hidden_channels, self.kernel_size,
-                dilation=dilation, padding=padding, name=f"in_{i}",
+                dilation=dilation, padding=padding, weight_norm=True,
+                name=f"in_{i}",
             )(x)
             if g_all is not None:
                 off = i * 2 * self.hidden_channels
@@ -47,7 +49,8 @@ class WN(nn.Module):
 
             last = i == self.n_layers - 1
             res_skip_ch = self.hidden_channels if last else 2 * self.hidden_channels
-            res_skip = Conv1d(res_skip_ch, 1, name=f"res_skip_{i}")(acts)
+            res_skip = Conv1d(res_skip_ch, 1, weight_norm=True,
+                              name=f"res_skip_{i}")(acts)
             if not last:
                 x = (x + res_skip[..., : self.hidden_channels]) * x_mask
                 output = output + res_skip[..., self.hidden_channels :]

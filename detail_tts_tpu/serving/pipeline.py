@@ -88,6 +88,22 @@ def _bucket_up(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+@dataclasses.dataclass
+class InflightBatch:
+    """Handle for a dispatched-but-unfetched batch (see dispatch_batch).
+
+    ``wav`` is the on-device output (still computing asynchronously);
+    ``eff`` the per-item code lengths already on host.  The handle holds
+    device memory until finalized — keep at most a couple in flight.
+    """
+
+    wav: jnp.ndarray
+    eff: np.ndarray
+    n: int
+    timings: Optional[Dict[str, float]] = None
+    _t0: float = 0.0
+
+
 class TTSEngine:
     """Stateless-weights serving engine around ``SynthesizerTrn``."""
 
@@ -451,18 +467,20 @@ class TTSEngine:
             codes, jnp.asarray(eff, jnp.int32), bucket, vq_safe)
         return codes_b, wav_len, bucket
 
-    def synthesize_batch(self, texts: Sequence[str],
-                         prompt_wavs: Sequence[np.ndarray],
-                         rng: Optional[jax.Array] = None,
-                         force_full: bool = False,
-                         timings: Optional[Dict[str, float]] = None
-                         ) -> List[np.ndarray]:
-        """Full pipeline (reference ``infer``, model_24k.py:774-810).
+    def dispatch_batch(self, texts: Sequence[str],
+                       prompt_wavs: Sequence[np.ndarray],
+                       rng: Optional[jax.Array] = None,
+                       force_full: bool = False,
+                       timings: Optional[Dict[str, float]] = None
+                       ) -> "InflightBatch":
+        """Enqueue ALL device work for one batch; no output fetch.
 
-        ``timings``: optional dict — when given, each stage is synced
-        (``jax.device_get`` of one element; ``block_until_ready`` can return
-        early over the axon tunnel) and its wall time accumulated under its
-        name.  This is the shipped per-stage profiler (``bench.py --stages``).
+        Returns an :class:`InflightBatch` handle — pass it to
+        :meth:`finalize_batch` to fetch the wavs.  Splitting dispatch from
+        finalize lets a server overlap batch N+1's host prep + dispatches
+        with batch N's device execution (cross-batch pipelining): the only
+        host blocking here is the decode-length sync (skipped under
+        ``force_full``); the D2H transfer belongs to finalize.
         """
         import time as _time
 
@@ -504,13 +522,39 @@ class TTSEngine:
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
         wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
         tick("vocode", wav)
+        return InflightBatch(wav=wav, eff=eff, n=len(texts),
+                             timings=timings, _t0=t0)
 
-        wav = np.asarray(wav[..., 0])
+    def finalize_batch(self, inflight: "InflightBatch") -> List[np.ndarray]:
+        """Fetch + trim an :meth:`dispatch_batch` handle (blocks on D2H)."""
+        import time as _time
+
+        wav = np.asarray(inflight.wav[..., 0])
         hop_per_code = self._gpt.mel_length_compression
-        outs = [wav[i, : int(eff[i]) * hop_per_code]
-                for i in range(len(texts))]
-        tick("host")
+        outs = [wav[i, : int(inflight.eff[i]) * hop_per_code]
+                for i in range(inflight.n)]
+        if inflight.timings is not None:
+            now = _time.perf_counter()
+            inflight.timings["host"] = (inflight.timings.get("host", 0.0)
+                                        + (now - inflight._t0))
         return outs
+
+    def synthesize_batch(self, texts: Sequence[str],
+                         prompt_wavs: Sequence[np.ndarray],
+                         rng: Optional[jax.Array] = None,
+                         force_full: bool = False,
+                         timings: Optional[Dict[str, float]] = None
+                         ) -> List[np.ndarray]:
+        """Full pipeline (reference ``infer``, model_24k.py:774-810).
+
+        ``timings``: optional dict — when given, each stage is synced
+        (``jax.device_get`` of one element; ``block_until_ready`` can return
+        early over the axon tunnel) and its wall time accumulated under its
+        name.  This is the shipped per-stage profiler (``bench.py --stages``).
+        """
+        return self.finalize_batch(self.dispatch_batch(
+            texts, prompt_wavs, rng=rng, force_full=force_full,
+            timings=timings))
 
     def synthesize(self, text: str, prompt_wav: np.ndarray,
                    rng: Optional[jax.Array] = None) -> np.ndarray:
@@ -658,5 +702,6 @@ def random_engine(cfg: Optional[Config] = None, seed: int = 0,
     if fast:
         variables = fast_random_variables(cfg, seed)
     else:
-        variables = init_variables(model, cfg, jax.random.PRNGKey(seed))
+        variables = init_variables(model, cfg, jax.random.PRNGKey(seed),
+                                   weight_norm=False)
     return TTSEngine(cfg, variables, engine_cfg)

@@ -73,8 +73,48 @@ def restore_checkpoint(directory: str, state_like: Any,
     return graft_pytree(state_like, raw, verbose=True)
 
 
+def _wn_fold_np(v: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """kernel = g * v / ||v|| (norm over all axes but the last; the layouts
+    in nn/common.py keep the weight-norm channel axis last)."""
+    v32 = np.asarray(v, np.float32)
+    norm = np.sqrt(np.sum(v32 ** 2, axis=tuple(range(v32.ndim - 1))))
+    return v32 * (np.asarray(g, np.float32) / np.maximum(norm, 1e-12))
+
+
+def _wn_crosswalk(name: str, loaded_flat: Dict[str, Any]):
+    """Resolve a weight-norm parameterization mismatch between template and
+    checkpoint: template (g, v) <- checkpoint kernel (unfold: v=w, g=||w||)
+    or template kernel <- checkpoint (g, v) (fold).
+
+    Only for model params (never optimizer moments: folding Adam mu/nu
+    across parameterizations would fabricate wrong statistics).
+    """
+    if not (name.startswith("params/") or "/params/" in name):
+        return None
+    if name.endswith(("/v", "/g")):
+        base = name[: name.rfind("/") + 1]
+        w = loaded_flat.get(base + "kernel")
+        if w is None:
+            return None
+        if name.endswith("/v"):
+            return np.asarray(w)
+        w32 = np.asarray(w, np.float32)
+        return np.sqrt(np.sum(w32 ** 2, axis=tuple(range(w32.ndim - 1))))
+    if name.endswith("/kernel"):
+        base = name[: -len("kernel")]
+        v, g = loaded_flat.get(base + "v"), loaded_flat.get(base + "g")
+        if v is None or g is None:
+            return None
+        return _wn_fold_np(v, g)
+    return None
+
+
 def graft_pytree(current: Any, loaded: Any, verbose: bool = False) -> Any:
-    """Copy leaves from ``loaded`` into ``current`` where path+shape match."""
+    """Copy leaves from ``loaded`` into ``current`` where path+shape match.
+
+    Weight-norm-aware: a (g, v)-parameterized template restores from a
+    folded checkpoint (and vice versa) by converting the model-param leaves
+    in place (see nn/common.py weight_norm_reparam)."""
     cur_flat = jax.tree_util.tree_flatten_with_path(current)[0]
     loaded_flat = dict(
         ("/".join(_k(k) for k in path), leaf)
@@ -84,6 +124,8 @@ def graft_pytree(current: Any, loaded: Any, verbose: bool = False) -> Any:
     def pick(path, leaf):
         name = "/".join(_k(k) for k in path)
         cand = loaded_flat.get(name)
+        if cand is None:
+            cand = _wn_crosswalk(name, loaded_flat)
         if cand is None:
             skipped.append(f"missing:{name}")
             return leaf
@@ -126,16 +168,29 @@ def restore_variables(path: str, cfg) -> Dict[str, Any]:
     from detail_tts_tpu.models.synthesizer import SynthesizerTrn
     from detail_tts_tpu.train.step import init_variables
 
+    # Serving always uses the FOLDED parameterization; trainer checkpoints
+    # may carry the weight-norm (g, v) reparam (TrainConfig.weight_norm) —
+    # fold on load.
+    model = SynthesizerTrn(cfg)
+    template = init_variables(model, cfg, jax.random.PRNGKey(0),
+                              weight_norm=False)
     if path.endswith(".msgpack"):
         import flax.serialization
 
-        model = SynthesizerTrn(cfg)
-        template = init_variables(model, cfg, jax.random.PRNGKey(0))
         with open(path, "rb") as f:
-            return flax.serialization.from_bytes(template, f.read())
+            data = f.read()
+        try:
+            return flax.serialization.from_bytes(template, data)
+        except Exception:
+            # trainer-exported reparamed weights: load under the (g, v)
+            # template, then fold for serving
+            from detail_tts_tpu.nn.common import fold_weight_norm_tree
 
-    model = SynthesizerTrn(cfg)
-    template = init_variables(model, cfg, jax.random.PRNGKey(0))
+            template_wn = init_variables(model, cfg, jax.random.PRNGKey(0),
+                                         weight_norm=True)
+            loaded = flax.serialization.from_bytes(template_wn, data)
+            return fold_weight_norm_tree(loaded)
+
     import orbax.checkpoint as ocp
 
     mgr = _manager(path)
@@ -144,7 +199,8 @@ def restore_variables(path: str, cfg) -> Dict[str, Any]:
         raise FileNotFoundError(f"no checkpoint under {path}")
     raw = mgr.restore(step, args=ocp.args.PyTreeRestore())
     mgr.close()
-    # TrainState layout: {'params': ..., 'vq_state': ...} at the top level
+    # TrainState layout: {'params': ..., 'vq_state': ...} at the top level;
+    # graft_pytree folds any (g, v) params onto the folded template.
     src = {"params": raw["params"], "vq_state": raw["vq_state"]}
     return graft_pytree(template, src, verbose=True)
 

@@ -34,14 +34,22 @@ from detail_tts_tpu.config import Config
 from detail_tts_tpu.models.diffusion import DiffusionSchedule
 from detail_tts_tpu.models.discriminator import MultiPeriodDiscriminator
 from detail_tts_tpu.models.synthesizer import SynthesizerTrn, make_train_schedule
-from detail_tts_tpu.nn.common import matmul_dtype, slice_segments
+from detail_tts_tpu.nn.common import (matmul_dtype, slice_segments,
+                                      weight_norm_reparam)
 
 
 def _amp_ctx_factory(cfg: Config):
-    """Autocast context for the step's forwards (TrainConfig.use_bf16)."""
-    if cfg.train.use_bf16:
-        return lambda: matmul_dtype(jnp.bfloat16)
-    return contextlib.nullcontext
+    """Trace context for the step's forwards: autocast (TrainConfig.use_bf16)
+    + torch-parity weight-norm (g, v) reparam (TrainConfig.weight_norm)."""
+    @contextlib.contextmanager
+    def ctx():
+        with contextlib.ExitStack() as stack:
+            if cfg.train.use_bf16:
+                stack.enter_context(matmul_dtype(jnp.bfloat16))
+            if cfg.train.weight_norm:
+                stack.enter_context(weight_norm_reparam())
+            yield
+    return ctx
 from detail_tts_tpu.train.losses import (discriminator_loss, feature_loss,
                                          generator_loss, kl_loss)
 from detail_tts_tpu.train.optim import (make_d_optimizer, make_optimizer,
@@ -94,8 +102,15 @@ def dummy_batch(cfg: Config, batch_size: int = 1, mel_frames: int = 48,
 
 
 def init_variables(model: SynthesizerTrn, cfg: Config, rng: jax.Array,
-                   mel_frames: int = 48) -> Dict[str, Any]:
-    """Create every live param + the vq_state collection."""
+                   mel_frames: int = 48,
+                   weight_norm: Optional[bool] = None) -> Dict[str, Any]:
+    """Create every live param + the vq_state collection.
+
+    ``weight_norm``: None follows cfg.train.weight_norm (training); pass
+    False for the folded serving parameterization regardless of config.
+    """
+    if weight_norm is None:
+        weight_norm = cfg.train.weight_norm
     mel_frames = max(mel_frames,
                      (cfg.train.segment_size // cfg.data.hop_length + 7) // 4 * 4)
     batch = dummy_batch(cfg, mel_frames=mel_frames)
@@ -104,10 +119,15 @@ def init_variables(model: SynthesizerTrn, cfg: Config, rng: jax.Array,
     # jit the init: eager flax init issues thousands of tiny device ops,
     # which is pathological over the axon TPU tunnel (~8 min vs seconds).
     # batch/schedule are closed over (DiffusionSchedule is not a pytree).
+    # weight_norm_reparam is read at trace time, so it wraps the traced call
+    # (init and every apply must agree on the parameterization).
     @jax.jit
     def init_fn(rngs, m_rng):
-        return model.init(rngs, batch, schedule, m_rng,
-                          method=SynthesizerTrn.init_all)
+        with contextlib.ExitStack() as stack:
+            if weight_norm:
+                stack.enter_context(weight_norm_reparam())
+            return model.init(rngs, batch, schedule, m_rng,
+                              method=SynthesizerTrn.init_all)
 
     return init_fn({"params": p_rng, "dropout": d_rng, "vq": v_rng}, m_rng)
 
@@ -132,8 +152,15 @@ def make_train_state(cfg: Config, rng: jax.Array,
     d_params = d_opt_state = None
     if with_discriminator:
         seg = cfg.train.segment_size
-        d_vars = jax.jit(disc.init)(d_rng, jnp.zeros((1, seg, 1)),
-                                    jnp.zeros((1, seg, 1)))
+
+        def d_init(rng, y, y_hat):
+            with contextlib.ExitStack() as stack:
+                if cfg.train.weight_norm:
+                    stack.enter_context(weight_norm_reparam())
+                return disc.init(rng, y, y_hat)
+
+        d_vars = jax.jit(d_init)(d_rng, jnp.zeros((1, seg, 1)),
+                                 jnp.zeros((1, seg, 1)))
         d_params = d_vars["params"]
         d_opt_state = make_d_optimizer(cfg).init(d_params)
 

@@ -13,6 +13,7 @@ Drives the jitted step functions from ``train/step.py`` over a device mesh:
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -180,6 +181,11 @@ class Trainer:
 
     # ----------------------------------------------------------------- eval
 
+    def _wn_ctx(self):
+        from detail_tts_tpu.nn.common import weight_norm_reparam
+        return (weight_norm_reparam() if self.cfg.train.weight_norm
+                else contextlib.nullcontext())
+
     def _eval_dump(self, batch: Dict[str, np.ndarray]) -> None:
         """sample-*.wav / gt-*.wav every val_freq (train.py:229-258)."""
         if not _is_host0():
@@ -198,20 +204,24 @@ class Trainer:
             variables = {"params": self.state.params,
                          "vq_state": self.state.vq_state}
             rng = jax.random.PRNGKey(step)
-            if self.target == "vqvae":
-                _, wav = self.model.apply(
-                    variables, jnp.asarray(first("raw_mel")), rng,
-                    method=SynthesizerTrn.infer_vqvae)
-            elif self.target in ("gpt", "diff") and self.synth_eval:
-                # reference: gpt -> infer_gpt, diff -> infer (train.py:234-236)
-                wav = self._run_synth_eval(variables, first, rng)[0][None, :,
-                                                                     None]
-                wav = jnp.asarray(wav)
-            else:
-                wav = self.model.apply(
-                    variables, jnp.asarray(first("raw_mel")),
-                    jnp.asarray(first("raw_spec_length")), rng,
-                    method=SynthesizerTrn.infer_flowvae)
+            # train params may carry the (g, v) reparam — applies on them
+            # must trace under the same context as the step (nn/common.py)
+            with self._wn_ctx():
+                if self.target == "vqvae":
+                    _, wav = self.model.apply(
+                        variables, jnp.asarray(first("raw_mel")), rng,
+                        method=SynthesizerTrn.infer_vqvae)
+                elif self.target in ("gpt", "diff") and self.synth_eval:
+                    # reference: gpt -> infer_gpt, diff -> infer
+                    # (train.py:234-236)
+                    wav = self._run_synth_eval(variables, first,
+                                               rng)[0][None, :, None]
+                    wav = jnp.asarray(wav)
+                else:
+                    wav = self.model.apply(
+                        variables, jnp.asarray(first("raw_mel")),
+                        jnp.asarray(first("raw_spec_length")), rng,
+                        method=SynthesizerTrn.infer_flowvae)
             gen_wav = np.asarray(wav)[0, :, 0]
             gt_wav = first("raw_wav").reshape(-1)
             save_wav(os.path.join(self.logs_folder, f"sample-{milestone}.wav"),

@@ -79,7 +79,7 @@ def test_extract_vq_bucket_padding_matches_exact(tmp_path):
 
     cfg = small_test_config()
     model = SynthesizerTrn(cfg)
-    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0), weight_norm=False)
 
     sr = cfg.data.sampling_rate
     # an awkward length: far from the 256-frame bucket boundary

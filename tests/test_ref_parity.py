@@ -26,7 +26,7 @@ def ref_and_jax():
     G, _ = load_reference_synthesizer()
     cfg = Config()
     model = SynthesizerTrn(cfg)
-    template = init_variables(model, cfg, jax.random.PRNGKey(0))
+    template = init_variables(model, cfg, jax.random.PRNGKey(0), weight_norm=False)
     variables, report = convert_state_dict(G.state_dict(), template)
     assert not report["unmapped"], report["unmapped"][:10]
     assert not report["missing"], report["missing"][:10]
@@ -550,6 +550,25 @@ def test_discriminator_and_gan_loss_parity(ref_and_jax):
                 a = a.transpose(0, 2, 1)
             np.testing.assert_allclose(a, bb, atol=2e-3, rtol=1e-2,
                                        err_msg=f"fmap disc {i} layer {k}")
+
+    # converter reparam mode: the same torch state dict mapped onto the
+    # (g, v) training parameterization produces identical logits
+    from detail_tts_tpu.nn.common import weight_norm_reparam
+
+    with weight_norm_reparam():
+        template_wn = disc.init(jax.random.PRNGKey(0), jnp.zeros((2, seg, 1)),
+                                jnp.zeros((2, seg, 1)))["params"]
+        d_params_wn, report_wn = convert_discriminator_state_dict(
+            tmpd.state_dict(), template_wn, weight_norm="reparam")
+        assert not report_wn["unmapped"], report_wn["unmapped"][:10]
+        assert not report_wn["missing"], report_wn["missing"][:10]
+        r_wn, g_wn, _, _ = disc.apply(
+            {"params": d_params_wn}, jnp.asarray(y.transpose(0, 2, 1)),
+            jnp.asarray(y_hat.transpose(0, 2, 1)))
+    for rj, rw in zip(r_j, r_wn):
+        np.testing.assert_allclose(np.asarray(rj), np.asarray(rw), atol=1e-4)
+    for gj, gw in zip(g_j, g_wn):
+        np.testing.assert_allclose(np.asarray(gj), np.asarray(gw), atol=1e-4)
 
     loss_d_j, _, _ = L.discriminator_loss(r_j, g_j)
     loss_g_j, _ = L.generator_loss(g_j)
