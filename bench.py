@@ -101,6 +101,33 @@ def main():
         log(f"bench: run {i}: wall={times[-1]:.2f}s audio={audio_s:.1f}s "
             f"rtf={audio_s / times[-1]:.2f}")
 
+    if "--sustained" in sys.argv:
+        # Cross-batch pipelining (serving/server.py double-buffer): dispatch
+        # batch i+1's full program chain before fetching batch i's wavs.
+        # Sustained RTF over k back-to-back batches vs the serial loop.
+        k = int(os.environ.get("BENCH_SUSTAINED_BATCHES", "6"))
+        t0 = time.perf_counter()
+        for i in range(k):
+            run(50 + i)
+        serial_wall = time.perf_counter() - t0
+        log(f"bench: sustained serial   : {k} batches in {serial_wall:.2f}s "
+            f"rtf={k * audio_s / serial_wall:.2f}")
+        t0 = time.perf_counter()
+        prev, total_audio = None, 0.0
+        for i in range(k):
+            h = eng.dispatch_batch(texts, wavs, rng=jrandom.PRNGKey(200 + i),
+                                   force_full=True)
+            if prev is not None:
+                outs = eng.finalize_batch(prev)
+                total_audio += sum(len(w) for w in outs) / sr
+            prev = h
+        outs = eng.finalize_batch(prev)
+        total_audio += sum(len(w) for w in outs) / sr
+        pipe_wall = time.perf_counter() - t0
+        log(f"bench: sustained pipelined: {k} batches in {pipe_wall:.2f}s "
+            f"rtf={total_audio / pipe_wall:.2f} "
+            f"(delta {100 * (serial_wall / pipe_wall - 1):+.1f}%)")
+
     if "--stages" in sys.argv:
         # per-stage walls with forced sync (stage sums exceed the pipelined
         # end-to-end wall slightly: sync barriers serialize the stages)

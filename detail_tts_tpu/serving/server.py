@@ -16,7 +16,10 @@ program launch.  This module provides the standard microbatcher:
 
 Single dispatch thread == single in-flight program per engine: the TPU is
 serially occupied anyway, and jit caches are not thread-safe to grow
-concurrently.
+concurrently.  Within that one thread the loop double-buffers: batch N+1 is
+prepared and DISPATCHED (all stages enqueue to the device FIFO) before batch
+N's wavs are fetched, so the device never idles on host prep/D2H between
+batches (``TTSEngine.dispatch_batch`` / ``finalize_batch``).
 """
 from __future__ import annotations
 
@@ -120,12 +123,20 @@ class TTSServer:
 
     # ------------------------------------------------------------- internals
 
-    def _collect(self) -> List[_Request]:
+    def _collect(self, block: bool = True) -> List[_Request]:
         """Block for the first request, then drain stragglers until the
-        batch deadline (max_wait_ms after the first arrival) or max_batch."""
+        batch deadline (max_wait_ms after the first arrival) or max_batch.
+
+        ``block=False`` (a dispatched batch is pending finalize): wait only
+        one batching window for the first request, so the pending batch's
+        futures resolve promptly when traffic pauses."""
         import time
 
-        first = self._queue.get()
+        try:
+            first = self._queue.get(
+                timeout=None if block else self.max_wait_ms / 1000.0)
+        except queue.Empty:
+            return []
         if first is None:
             return []
         batch = [first]
@@ -145,15 +156,72 @@ class TTSServer:
         return batch
 
     def _loop(self) -> None:
+        # Cross-batch pipelining (double-buffer): dispatch batch N+1's host
+        # prep + device programs BEFORE fetching batch N's wavs, so the
+        # device FIFO never drains between batches.  Correctness is free —
+        # stages are separate jit calls and the device executes them in
+        # dispatch order; only the host-side output fetch serializes, and it
+        # now overlaps the next batch's prep/decode.
+        inflight = None  # (group, InflightBatch)
         while self._running:
-            batch = self._collect()
+            batch = self._collect(block=inflight is None)
             if not batch:
+                if inflight is not None:
+                    self._finalize(*inflight)
+                    inflight = None
                 continue
-            # vq_only requests run in their own group (different pipeline)
             for vq_only in (False, True):
                 group = [r for r in batch if r.vq_only == vq_only]
-                if group:
-                    self._dispatch(group, vq_only)
+                if not group:
+                    continue
+                if vq_only:
+                    # different pipeline (no async handle): drain first
+                    if inflight is not None:
+                        self._finalize(*inflight)
+                        inflight = None
+                    self._dispatch(group, vq_only=True)
+                else:
+                    handle = self._dispatch_async(group)
+                    if inflight is not None:
+                        self._finalize(*inflight)
+                        inflight = None
+                    if handle is not None:
+                        inflight = (group, handle)
+        if inflight is not None:
+            self._finalize(*inflight)
+
+    def _batch_rng(self, group: List[_Request]):
+        import jax
+
+        rng = jax.random.PRNGKey(len(group))
+        for r in group:
+            rng = jax.random.fold_in(rng, r.seed & 0x7FFFFFFF)
+        return rng
+
+    def _dispatch_async(self, group: List[_Request]):
+        """Enqueue one batch's device work; returns an InflightBatch."""
+        try:
+            texts = [r.text for r in group]
+            prompts = [r.prompt_wav for r in group]
+            return self.engine.dispatch_batch(texts, prompts,
+                                              rng=self._batch_rng(group))
+        except Exception as e:
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return None
+
+    def _finalize(self, group: List[_Request], handle) -> None:
+        try:
+            outs = self.engine.finalize_batch(handle)
+            for r, wav in zip(group, outs):
+                r.future.set_result(wav)
+            self.batches_dispatched += 1
+            self.requests_served += len(group)
+        except Exception as e:
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
 
     def _dispatch(self, group: List[_Request], vq_only: bool) -> None:
         """One batched engine call for the group.

@@ -80,3 +80,45 @@ def test_server_bad_submit_does_not_poison_concurrent_batch():
         outs = [f.result(timeout=600) for f in futs]
     for w in outs:
         assert np.isfinite(w).all() and len(w) > 0
+
+
+def test_dispatch_finalize_pipelining_matches_synthesize_batch():
+    """The double-buffer primitive: dispatch batch i+1 before finalizing
+    batch i must produce bit-identical wavs to the serial path."""
+    import jax
+
+    eng = _engine()
+    texts = ["yi1 er4", "san1 si4"]
+    prompts = [_prompt(1), _prompt(2)]
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(3)]
+
+    serial = [eng.synthesize_batch(texts, prompts, rng=r) for r in rngs]
+
+    pipelined, prev = [], None
+    for r in rngs:
+        h = eng.dispatch_batch(texts, prompts, rng=r)
+        if prev is not None:
+            pipelined.append(eng.finalize_batch(prev))
+        prev = h
+    pipelined.append(eng.finalize_batch(prev))
+
+    for outs_s, outs_p in zip(serial, pipelined):
+        for a, b in zip(outs_s, outs_p):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_server_back_to_back_batches_all_resolve():
+    """Sequential waves exercise the inflight double-buffer in _loop."""
+    eng = _engine()
+    with TTSServer(eng, max_batch=2, max_wait_ms=200.0) as server:
+        server.synthesize("ni3 hao3", _prompt(0), timeout=600)  # warm jits
+        all_futs = []
+        for wave in range(3):
+            futs = [server.submit("yi1 er4", _prompt(wave), seed=wave)
+                    for _ in range(2)]
+            all_futs.extend(futs)
+            time.sleep(0.05)  # let waves land as separate batches
+        outs = [f.result(timeout=600) for f in all_futs]
+    for w in outs:
+        assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
+    assert server.requests_served == 7
