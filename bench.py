@@ -105,27 +105,49 @@ def main():
         # Cross-batch pipelining (serving/server.py double-buffer): dispatch
         # batch i+1's full program chain before fetching batch i's wavs.
         # Sustained RTF over k back-to-back batches vs the serial loop.
+        # BENCH_TRACE_SUSTAINED=<dir> traces BOTH loops in one profile so
+        # device-busy per batch can be compared (scripts/parse_trace.py);
+        # BENCH_SUSTAINED_ORDER=pipe_first flips loop order (shared-chip
+        # drift check).
         k = int(os.environ.get("BENCH_SUSTAINED_BATCHES", "6"))
-        t0 = time.perf_counter()
-        for i in range(k):
-            run(50 + i)
-        serial_wall = time.perf_counter() - t0
+        strace = os.environ.get("BENCH_TRACE_SUSTAINED")
+        if strace:
+            jax.profiler.start_trace(strace)
+
+        def serial_loop():
+            t0 = time.perf_counter()
+            for i in range(k):
+                run(50 + i)
+            return time.perf_counter() - t0
+
+        def pipelined_loop():
+            t0 = time.perf_counter()
+            prev, total_audio = None, 0.0
+            for i in range(k):
+                h = eng.dispatch_batch(texts, wavs,
+                                       rng=jrandom.PRNGKey(200 + i),
+                                       force_full=True)
+                if prev is not None:
+                    outs = eng.finalize_batch(prev)
+                    total_audio += sum(len(w) for w in outs) / sr
+                prev = h
+            outs = eng.finalize_batch(prev)
+            total_audio += sum(len(w) for w in outs) / sr
+            return time.perf_counter() - t0
+
+        if os.environ.get("BENCH_SUSTAINED_ORDER") == "pipe_first":
+            pipe_wall = pipelined_loop()
+            serial_wall = serial_loop()
+        else:
+            serial_wall = serial_loop()
+            pipe_wall = pipelined_loop()
+        if strace:
+            jax.profiler.stop_trace()
+            log(f"bench: sustained trace written to {strace}")
         log(f"bench: sustained serial   : {k} batches in {serial_wall:.2f}s "
             f"rtf={k * audio_s / serial_wall:.2f}")
-        t0 = time.perf_counter()
-        prev, total_audio = None, 0.0
-        for i in range(k):
-            h = eng.dispatch_batch(texts, wavs, rng=jrandom.PRNGKey(200 + i),
-                                   force_full=True)
-            if prev is not None:
-                outs = eng.finalize_batch(prev)
-                total_audio += sum(len(w) for w in outs) / sr
-            prev = h
-        outs = eng.finalize_batch(prev)
-        total_audio += sum(len(w) for w in outs) / sr
-        pipe_wall = time.perf_counter() - t0
         log(f"bench: sustained pipelined: {k} batches in {pipe_wall:.2f}s "
-            f"rtf={total_audio / pipe_wall:.2f} "
+            f"rtf={k * audio_s / pipe_wall:.2f} "
             f"(delta {100 * (serial_wall / pipe_wall - 1):+.1f}%)")
 
     if "--stages" in sys.argv:

@@ -63,10 +63,20 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     weight_norm = os.environ.get("BENCH_WN", "1") == "1"
+    # BENCH_DROPOUT=0 removes the in-graph RNG entirely (upper bound on any
+    # dropout-RNG optimization); BENCH_RNG=rbg|threefry A/Bs the step key's
+    # PRNG impl (TrainConfig.rng_impl is the shipped knob).
+    rng_impl = os.environ.get("BENCH_RNG")
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train, target=target, batch_size=batch_size,
         gradient_accumulate_every=accum, remat_gpt=remat,
-        use_bf16=use_bf16, weight_norm=weight_norm))
+        use_bf16=use_bf16, weight_norm=weight_norm,
+        **({"rng_impl": rng_impl} if rng_impl else {})))
+    if "BENCH_DROPOUT" in os.environ:
+        p = float(os.environ["BENCH_DROPOUT"])
+        cfg = dataclasses.replace(
+            cfg, gpt=dataclasses.replace(cfg.gpt, dropout=p),
+            vaegan=dataclasses.replace(cfg.vaegan, p_dropout=p))
 
     log(f"bench_train: target={target} batch={batch_size} accum={accum} "
         f"bf16={use_bf16} wn={weight_norm} "
@@ -90,7 +100,7 @@ def main():
     else:
         batch = stack_microbatches(batch, accum)
 
-    rng = jax.random.PRNGKey(2)
+    rng = jax.random.key(2, impl=cfg.train.rng_impl)
     t0 = time.perf_counter()
     state, metrics = step(state, batch, rng)
     jax.device_get(metrics["loss" if "loss" in metrics else "loss_gen_all"])

@@ -58,6 +58,17 @@ class TrainConfig:
     # geometry matters for GAN stability.  Serving always uses folded
     # kernels (nn/common.py weight_norm_reparam).
     weight_norm: bool = True
+    # PRNG impl for the per-step training key (dropout masks, diffusion
+    # timestep/noise draws, VQ expiry samples).  'rbg' lowers to the TPU
+    # hardware RngBitGenerator; jax's portable default threefry2x32 is
+    # otherwise fused mask arithmetic on the VPU inside the attention
+    # einsums — measured 46% of the whole gpt train step (238ms -> 128ms
+    # device, 4.1 -> 7.0 steps/s; kernel census in CLAUDE.md).  Draw
+    # QUALITY is fine for training noise; rbg streams are not bit-stable
+    # across XLA versions/backends, so set 'threefry2x32' if bit-exact
+    # reproducible resumes matter more than 1.7x step throughput.
+    # Param INIT always uses threefry (trainer.py) so init is impl-stable.
+    rng_impl: str = "rbg"
 
 
 @dataclass(frozen=True)

@@ -131,6 +131,11 @@ class Trainer:
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         self._rng, init_rng = jax.random.split(jax.random.fold_in(rng, seed))
+        if cfg.train.rng_impl != "threefry2x32":
+            # step-loop key only (dropout/noise draws): param init stays on
+            # threefry so init is bit-stable across rng_impl settings.
+            self._rng = jax.random.key(cfg.train.seed * 1000003 + seed,
+                                       impl=cfg.train.rng_impl)
         self.state, self.model, self.disc = make_train_state(cfg, init_rng)
         self.state = self._shard_state(self.state)
         self.step_fn = make_train_step(self.model, self.disc, cfg)
