@@ -26,6 +26,38 @@ def _round_up_8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+@jax.custom_vjp
+def softmax_lowp(logits: jax.Array) -> jax.Array:
+    """Last-axis softmax with fp32 internals but LOW-PRECISION storage.
+
+    With bf16 autocast active, the XLA training-attention path materializes
+    the (B, H, T, S) logits and probability tensors in HBM in both
+    directions — the dominant traffic of the diff train step at T=496
+    (kernel census in CLAUDE.md).  Plain ``jax.nn.softmax`` would upcast and
+    save an fp32 residual for its VJP; this wrapper keeps the softmax math
+    in fp32 registers while pinning every saved/stored tensor to the input
+    dtype (the same contract torch autocast gives a bmm -> softmax -> bmm
+    chain, where the bmm outputs are half precision).  Backward recomputes
+    ``dlogits = w * (g - sum(g * w))`` in fp32 from the bf16 ``w``.
+    """
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1) \
+        .astype(logits.dtype)
+
+
+def _softmax_lowp_fwd(logits):
+    w = softmax_lowp(logits)
+    return w, w
+
+
+def _softmax_lowp_bwd(w, g):
+    gw = g.astype(jnp.float32) * w.astype(jnp.float32)
+    d = gw - w.astype(jnp.float32) * jnp.sum(gw, axis=-1, keepdims=True)
+    return (d.astype(w.dtype),)
+
+
+softmax_lowp.defvjp(_softmax_lowp_fwd, _softmax_lowp_bwd)
+
+
 def relative_position_bucket(relative_position: jax.Array, num_buckets: int = 32,
                              max_distance: int = 128) -> jax.Array:
     """Non-causal T5 bucketing (xtransformers.py:155-175)."""
@@ -260,16 +292,25 @@ class AttentionBlock(nn.Module):
             # the largest block of the diff train step after the scatter
             # fix).  Accumulation/softmax stay fp32.
             mdt = _mm_operand_dtype(x.dtype)
+            # Under bf16 autocast, ALSO store the (B,H,T,S) logits and
+            # probability tensors in bf16 (torch autocast's bmm outputs are
+            # half precision too; softmax math stays fp32 in softmax_lowp).
+            # This halves the dominant HBM traffic of the diff train step at
+            # T=496.  DTTS_ATTN_LOGITS=fp32 reverts to fp32 storage.
+            lowp = (mdt != jnp.float32 and
+                    os.environ.get("DTTS_ATTN_LOGITS", "lowp") == "lowp")
+            acc_dt = mdt if lowp else jnp.float32
             logits = jnp.einsum("bhtd,bhsd->bhts",
                                 (q * scale).astype(mdt),
                                 (k * scale).astype(mdt),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=acc_dt)
             if bias is not None:
                 if precomputed:  # log2-domain -> natural
                     bias = bias * jnp.asarray(1.0 / 1.4426950408889634,
                                               bias.dtype)
-                logits = logits + bias[None].astype(jnp.float32)
-            w = jax.nn.softmax(logits, axis=-1)
+                logits = logits + bias[None].astype(acc_dt)
+            w = softmax_lowp(logits) if lowp \
+                else jax.nn.softmax(logits, axis=-1)
             if mask is not None:
                 w = w * mask[:, None, None, :]
             a = jnp.einsum("bhts,bhsd->bhtd", w.astype(mdt), v.astype(mdt),

@@ -255,17 +255,23 @@ class Trainer:
     def _run_synth_eval(self, variables, first, rng):
         from detail_tts_tpu.serving.pipeline import EngineConfig, TTSEngine
 
-        if self._engine is None:
-            self._engine = TTSEngine(self.cfg, variables,
-                                     EngineConfig(max_generate_length=200,
-                                                  compute_dtype=None))
-        else:
-            self._engine.variables = variables
-        text = jnp.asarray(first("text"))
-        mel = jnp.asarray(first("mel"))
-        lengths = jnp.asarray(first("spec_length"))
-        return self._engine.synthesize_from_ids(
-            text, mel, lengths, rng, vq_only=(self.target == "gpt"))
+        # Own the (g, v) reparam context here, not only in _eval_dump: the
+        # engine traces lazily per bucket shape, and every trace on TRAIN
+        # params must see the same param structure the step used — a direct
+        # caller (tests, notebooks) would otherwise hit
+        # ScopeParamNotFoundError("kernel") on reparamed convs.
+        with self._wn_ctx():
+            if self._engine is None:
+                self._engine = TTSEngine(self.cfg, variables,
+                                         EngineConfig(max_generate_length=200,
+                                                      compute_dtype=None))
+            else:
+                self._engine.variables = variables
+            text = jnp.asarray(first("text"))
+            mel = jnp.asarray(first("mel"))
+            lengths = jnp.asarray(first("spec_length"))
+            return self._engine.synthesize_from_ids(
+                text, mel, lengths, rng, vq_only=(self.target == "gpt"))
 
     # ---------------------------------------------------------------- train
 

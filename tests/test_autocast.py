@@ -73,6 +73,60 @@ def test_style_attention_autocast():
     _check(*_run(StyleSelfAttention(64, 4, 0.0), x))
 
 
+def test_attention_lowp_logits_storage():
+    """Under bf16 autocast the diff attention stores the (B,H,T,S) logits
+    and probabilities in bf16 (softmax_lowp custom-VJP, fp32 internals) —
+    the dominant HBM traffic of the diff train step at T=496.  Pins:
+    (a) the lowp path stays within bf16 round-off of fp32-logits storage in
+    fwd AND grad, (b) the custom-VJP actually engages (its primitive is in
+    the jaxpr) and is absent under DTTS_ATTN_LOGITS=fp32."""
+    import os
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 40, 64))
+    m = AttentionBlock(64, 4, relative_pos_embeddings=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    v = jax.tree_util.tree_unflatten(treedef, [
+        jax.random.normal(k, l.shape, l.dtype) * 0.2 for k, l in
+        zip(keys, leaves)])
+
+    def run(mode):
+        # FRESH closure per mode + clear_caches: jax caches traces keyed on
+        # function identity + avals, so retracing the same callable would
+        # silently ignore the env change (env vars are trace-time state,
+        # set per process in real use — bench_train.py / trainer).
+        def loss(variables, xx):
+            with matmul_dtype(jnp.bfloat16):
+                return jnp.sum(m.apply(variables, xx) ** 2)
+
+        prev = os.environ.get("DTTS_ATTN_LOGITS")
+        os.environ["DTTS_ATTN_LOGITS"] = mode
+        jax.clear_caches()
+        try:
+            val, grads = jax.value_and_grad(loss)(v, x)
+            jaxpr = str(jax.make_jaxpr(loss)(v, x))
+        finally:
+            if prev is None:
+                os.environ.pop("DTTS_ATTN_LOGITS")
+            else:
+                os.environ["DTTS_ATTN_LOGITS"] = prev
+        return float(val), grads, jaxpr
+
+    val_l, g_l, jx_l = run("lowp")
+    val_f, g_f, jx_f = run("fp32")
+    # the logits dot emits bf16 under lowp, fp32 otherwise (custom_vjp
+    # inlines on a primal trace, so check the dot output dtype instead)
+    assert "bf16[2,4,40,40] = dot_general" in jx_l
+    assert "bf16[2,4,40,40] = dot_general" not in jx_f
+    assert "f32[2,4,40,40] = dot_general" in jx_f
+    assert abs(val_l - val_f) / (abs(val_f) + 1e-6) < 3e-2
+    err = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max()
+        / (np.abs(np.asarray(b)).max() + 1e-6), g_l, g_f)
+    assert max(jax.tree_util.tree_leaves(err)) < 5e-2
+
+
 def test_autocast_scoped():
     """Outside the context everything is bit-identical fp32 (the flag is
     trace-time thread-local state; leaking it would silently degrade
