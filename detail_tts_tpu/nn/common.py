@@ -57,6 +57,16 @@ def _mm_operand_dtype(out_dtype):
     return out_dtype
 
 
+def autocast_active() -> bool:
+    """True while tracing inside a ``matmul_dtype(...)`` context.
+
+    Distinguishes TRAINING autocast (the context) from serving's plain
+    bf16 compute dtype (inputs/weights already cast, no context) — some
+    policies, e.g. bf16 attention-logits storage, apply only to the
+    former."""
+    return _MM_DTYPE.value is not None
+
+
 class _WeightNormState(threading.local):
     value = False
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.nn.common import (Conv1d, Dense, GroupNorm32,
-                                      _mm_operand_dtype)
+                                      _mm_operand_dtype, autocast_active)
 
 
 def _round_up_8(x: int) -> int:
@@ -297,7 +297,12 @@ class AttentionBlock(nn.Module):
             # half precision too; softmax math stays fp32 in softmax_lowp).
             # This halves the dominant HBM traffic of the diff train step at
             # T=496.  DTTS_ATTN_LOGITS=fp32 reverts to fp32 storage.
-            lowp = (mdt != jnp.float32 and
+            # GATED ON THE TRAINING AUTOCAST CONTEXT, not on bf16 inputs:
+            # the serving engine runs bf16 WITHOUT the context, and bf16
+            # logits storage there measured a real RTF loss (43.6x -> 37.7x
+            # batch 8 — the fp32-logits serving programs are what the
+            # serving roofline was built on; keep them).
+            lowp = (autocast_active() and mdt != jnp.float32 and
                     os.environ.get("DTTS_ATTN_LOGITS", "lowp") == "lowp")
             acc_dt = mdt if lowp else jnp.float32
             logits = jnp.einsum("bhtd,bhsd->bhts",
