@@ -127,6 +127,24 @@ def test_attention_lowp_logits_storage():
     assert max(jax.tree_util.tree_leaves(err)) < 5e-2
 
 
+def test_serving_bf16_keeps_fp32_logits_storage():
+    """REGRESSION GUARD: the serving engine runs bf16 inputs/weights WITHOUT
+    the matmul_dtype context — bf16 logits storage there measured a real
+    43.6x -> 37.7x batch-8 RTF loss (round 4), so lowp must key on
+    autocast_active(), never on operand dtype alone.  Serving-style apply
+    (bf16 params+input, no ctx) must trace an fp32 logits dot."""
+    x16 = jax.random.normal(jax.random.PRNGKey(7), (2, 40, 64)) \
+        .astype(jnp.bfloat16)
+    m = AttentionBlock(64, 4, relative_pos_embeddings=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 40, 64), jnp.float32))
+    v16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, v)
+    jx = str(jax.make_jaxpr(lambda vv, xx: m.apply(vv, xx))(v16, x16))
+    assert "f32[2,4,40,40] = dot_general" in jx
+    assert "bf16[2,4,40,40] = dot_general" not in jx
+
+
 def test_autocast_scoped():
     """Outside the context everything is bit-identical fp32 (the flag is
     trace-time thread-local state; leaking it would silently degrade
