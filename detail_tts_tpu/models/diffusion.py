@@ -357,8 +357,11 @@ def dpmpp_2m_reference_sample_loop(model_fn: ModelFn, noise: jax.Array, *,
     * UNCLIPPED data prediction x0 = (x - sigma eps)/alpha
       (data_prediction_fn, dpm_solver.py:433-441; correcting_x0_fn=None);
     * multistep order-2 'dpmsolver' updates with a first-order init and NO
-      model eval after the last update (sample(), dpm_solver.py:1172-1214;
-      steps=50 >= 10 so lower_order_final never triggers).
+      model eval after the last update (sample(), dpm_solver.py:1172-1214);
+    * ``lower_order_final``: the reference samples with
+      lower_order_final=True, which at steps < 10 drops the FINAL update
+      to first order (step_order = min(order, steps+1-step),
+      dpm_solver.py:1197-1200); at the live steps=50 it never triggers.
 
     All per-step schedule scalars are precomputed host-side in float64 and
     scanned over; each model eval is one 2B-batched CFG call.
@@ -420,6 +423,10 @@ def dpmpp_2m_reference_sample_loop(model_fn: ModelFn, noise: jax.Array, *,
     xs = (jnp.asarray(idx[:-1], jnp.int32), f32(ratio[:-1]), f32(aphi[:-1]),
           f32(r0[:-1]))
     (x, m_prev0, m_prev1), _ = jax.lax.scan(step, (x, m_prev0, m_prev1), xs)
+    if steps < 10:
+        # lower_order_final: the last update is DPM-Solver-1
+        # (multistep_dpm_solver_first_update, dpm_solver.py:785-800)
+        return f32(ratio[-1]) * x - f32(aphi[-1]) * m_prev0
     return update(x, m_prev0, m_prev1, f32(ratio[-1]), f32(aphi[-1]),
                   f32(r0[-1]))
 

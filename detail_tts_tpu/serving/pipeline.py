@@ -104,6 +104,32 @@ class InflightBatch:
     _t0: float = 0.0
 
 
+@dataclasses.dataclass
+class PendingDecode:
+    """Phase-1 handle from :meth:`TTSEngine.dispatch_decode`.
+
+    The AR decode and the diffusion conditioning are ENQUEUED on device but
+    no host sync has happened yet — in particular not the decode-length
+    (``eff``) sync that :meth:`TTSEngine.dispatch_tail` performs.  A server
+    can therefore finalize the PREVIOUS batch between the two phases instead
+    of paying the next batch's whole generate stage in every request's
+    latency (the device FIFO keeps executing either way)."""
+
+    codes: jnp.ndarray
+    lengths: Optional[jnp.ndarray]  # device array; None under force_full
+    diff_cond: jnp.ndarray
+    refer_mel: jnp.ndarray
+    refer_len: jnp.ndarray
+    text: jnp.ndarray
+    d_rng: jax.Array
+    v_rng: jax.Array
+    n: int
+    max_len: int
+    force_full: bool
+    timings: Optional[Dict[str, float]] = None
+    _t0: float = 0.0
+
+
 class TTSEngine:
     """Stateless-weights serving engine around ``SynthesizerTrn``."""
 
@@ -480,11 +506,62 @@ class TTSEngine:
         finalize lets a server overlap batch N+1's host prep + dispatches
         with batch N's device execution (cross-batch pipelining): the only
         host blocking here is the decode-length sync (skipped under
-        ``force_full``); the D2H transfer belongs to finalize.
+        ``force_full``); the D2H transfer belongs to finalize.  Servers that
+        must not charge that sync to the PREVIOUS batch's latency use the
+        finer :meth:`dispatch_decode` / :meth:`dispatch_tail` split.
         """
+        return self.dispatch_tail(self.dispatch_decode(
+            texts, prompt_wavs, rng=rng, force_full=force_full,
+            timings=timings))
+
+    def dispatch_decode(self, texts: Sequence[str],
+                        prompt_wavs: Sequence[np.ndarray],
+                        rng: Optional[jax.Array] = None,
+                        force_full: bool = False,
+                        timings: Optional[Dict[str, float]] = None
+                        ) -> "PendingDecode":
+        """Phase 1: host prep + enqueue the AR decode and diffusion cond.
+
+        No host sync on the decode output — returns immediately after the
+        dispatches, so a server can resolve the previous batch's futures
+        while this batch's generate runs (see :class:`PendingDecode`)."""
         import time as _time
 
         t0 = _time.perf_counter()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        g_rng, d_rng, v_rng = jax.random.split(rng, 3)
+        text, _ = self.prepare_text(texts)
+        refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
+        if timings is not None:
+            jax.device_get(refer_mel.ravel()[0])  # force real completion
+            now = _time.perf_counter()
+            timings["prepare"] = timings.get("prepare", 0.0) + (now - t0)
+            t0 = now
+        text, refer_mel, refer_len = self._shard(text, refer_mel, refer_len)
+
+        # dispatch the AR decode first: diffusion_cond's host-side grouping
+        # and dispatches then overlap the ~0.7 s of device decode time
+        max_len = self.ecfg.max_generate_length
+        codes, lengths = self._generate(self.variables, refer_mel, refer_len,
+                                        text, g_rng, max_len, force_full)
+        diff_cond = self.diffusion_cond(refer_mel, refer_len)
+        (diff_cond,) = self._shard(diff_cond)
+        return PendingDecode(codes=codes,
+                             lengths=None if force_full else lengths,
+                             diff_cond=diff_cond, refer_mel=refer_mel,
+                             refer_len=refer_len, text=text, d_rng=d_rng,
+                             v_rng=v_rng, n=len(texts), max_len=max_len,
+                             force_full=force_full, timings=timings, _t0=t0)
+
+    def dispatch_tail(self, pending: "PendingDecode") -> "InflightBatch":
+        """Phase 2: decode-length sync + bucket/pad + latents/diffuse/vocode.
+
+        The ``eff`` sync here blocks until the decode finishes on device
+        (unless the decode ran ``force_full``)."""
+        import time as _time
+
+        t0 = pending._t0
+        timings = pending.timings
 
         def tick(name, out=None):
             nonlocal t0
@@ -496,33 +573,31 @@ class TTSEngine:
             timings[name] = timings.get(name, 0.0) + (now - t0)
             t0 = now
 
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        g_rng, d_rng, v_rng = jax.random.split(rng, 3)
-        text, _ = self.prepare_text(texts)
-        refer_mel, refer_len = self.prepare_prompt(prompt_wavs)
-        tick("prepare", refer_mel)
-        text, refer_mel, refer_len = self._shard(text, refer_mel, refer_len)
-
-        # dispatch the AR decode first: diffusion_cond's host-side grouping
-        # and dispatches then overlap the ~0.7 s of device decode time
-        codes, eff = self.generate_codes(refer_mel, refer_len, text, g_rng,
-                                         force_full=force_full)
-        diff_cond = self.diffusion_cond(refer_mel, refer_len)
-        (diff_cond,) = self._shard(diff_cond)
+        codes = pending.codes
+        # HF-parity: the reference always drops the final token
+        # (codes[:, :-1], model_24k.py:794) — same math as generate_codes
+        if pending.force_full:
+            eff = np.full((codes.shape[0],), max(pending.max_len - 1, 1),
+                          np.int32)
+        else:
+            eff = np.maximum(np.asarray(pending.lengths) - 1,
+                             1).astype(np.int32)
         tick("generate", codes)
-        tick("diff_cond", diff_cond)
+        tick("diff_cond", pending.diff_cond)
         codes_b, wav_len, bucket = self._pad_codes(codes, eff)
 
-        latents = self._latents(self.variables, refer_mel, refer_len, text,
+        latents = self._latents(self.variables, pending.refer_mel,
+                                pending.refer_len, pending.text,
                                 codes_b, wav_len)
         tick("latents", latents)
         biases = self.attention_biases(bucket * FRAMES_PER_CODE)
-        mel = self._diffuse(self.variables, latents, diff_cond, biases, d_rng)
+        mel = self._diffuse(self.variables, latents, pending.diff_cond,
+                            biases, pending.d_rng)
         tick("diffuse", mel)
         mel_lengths = jnp.asarray(eff * FRAMES_PER_CODE, jnp.int32)
-        wav = self._vocode(self.variables, mel, mel_lengths, v_rng)
+        wav = self._vocode(self.variables, mel, mel_lengths, pending.v_rng)
         tick("vocode", wav)
-        return InflightBatch(wav=wav, eff=eff, n=len(texts),
+        return InflightBatch(wav=wav, eff=eff, n=pending.n,
                              timings=timings, _t0=t0)
 
     def finalize_batch(self, inflight: "InflightBatch") -> List[np.ndarray]:

@@ -157,11 +157,15 @@ class TTSServer:
 
     def _loop(self) -> None:
         # Cross-batch pipelining (double-buffer): dispatch batch N+1's host
-        # prep + device programs BEFORE fetching batch N's wavs, so the
-        # device FIFO never drains between batches.  Correctness is free —
-        # stages are separate jit calls and the device executes them in
-        # dispatch order; only the host-side output fetch serializes, and it
-        # now overlaps the next batch's prep/decode.
+        # prep + AR decode BEFORE fetching batch N's wavs, so the device
+        # FIFO never drains between batches.  Correctness is free — stages
+        # are separate jit calls and the device executes them in dispatch
+        # order.  The dispatch is split in two phases around batch N's
+        # finalize (engine dispatch_decode / dispatch_tail): the tail's
+        # decode-length host sync blocks until N+1's generate completes on
+        # device, which runs AFTER all of N's queued work — finalizing N
+        # first keeps the overlap without charging a whole generate stage
+        # to every request's latency.
         inflight = None  # (group, InflightBatch)
         while self._running:
             batch = self._collect(block=inflight is None)
@@ -179,14 +183,16 @@ class TTSServer:
                     if inflight is not None:
                         self._finalize(*inflight)
                         inflight = None
-                    self._dispatch(group, vq_only=True)
+                    self._dispatch_vq(group)
                 else:
-                    handle = self._dispatch_async(group)
+                    pending = self._dispatch_decode(group)
                     if inflight is not None:
                         self._finalize(*inflight)
                         inflight = None
-                    if handle is not None:
-                        inflight = (group, handle)
+                    if pending is not None:
+                        handle = self._dispatch_tail(group, pending)
+                        if handle is not None:
+                            inflight = (group, handle)
         if inflight is not None:
             self._finalize(*inflight)
 
@@ -198,13 +204,23 @@ class TTSServer:
             rng = jax.random.fold_in(rng, r.seed & 0x7FFFFFFF)
         return rng
 
-    def _dispatch_async(self, group: List[_Request]):
-        """Enqueue one batch's device work; returns an InflightBatch."""
+    def _dispatch_decode(self, group: List[_Request]):
+        """Phase 1: enqueue prep + AR decode; no host sync (PendingDecode)."""
         try:
             texts = [r.text for r in group]
             prompts = [r.prompt_wav for r in group]
-            return self.engine.dispatch_batch(texts, prompts,
-                                              rng=self._batch_rng(group))
+            return self.engine.dispatch_decode(texts, prompts,
+                                               rng=self._batch_rng(group))
+        except Exception as e:
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return None
+
+    def _dispatch_tail(self, group: List[_Request], pending):
+        """Phase 2: decode-length sync + diffuse/vocode dispatches."""
+        try:
+            return self.engine.dispatch_tail(pending)
         except Exception as e:
             for r in group:
                 if not r.future.done():
@@ -214,17 +230,19 @@ class TTSServer:
     def _finalize(self, group: List[_Request], handle) -> None:
         try:
             outs = self.engine.finalize_batch(handle)
-            for r, wav in zip(group, outs):
-                r.future.set_result(wav)
+            # counters BEFORE resolving futures: a client unblocked by
+            # set_result may read them immediately (observable-state race)
             self.batches_dispatched += 1
             self.requests_served += len(group)
+            for r, wav in zip(group, outs):
+                r.future.set_result(wav)
         except Exception as e:
             for r in group:
                 if not r.future.done():
                     r.future.set_exception(e)
 
-    def _dispatch(self, group: List[_Request], vq_only: bool) -> None:
-        """One batched engine call for the group.
+    def _dispatch_vq(self, group: List[_Request]) -> None:
+        """One batched vq-only engine call for the group (gpt eval path).
 
         rng: all request seeds fold into one batch key.  Voice conditioning
         is per-item deterministic by construction (serving/pipeline.py), but
@@ -232,21 +250,15 @@ class TTSServer:
         (text, prompt, seed) reproducibility call the engine directly at
         batch 1.
         """
-        import jax
-
         try:
             texts = [r.text for r in group]
             prompts = [r.prompt_wav for r in group]
-            rng = jax.random.PRNGKey(len(group))
-            for r in group:
-                rng = jax.random.fold_in(rng, r.seed & 0x7FFFFFFF)
-            fn = (self.engine.synthesize_vq_batch if vq_only
-                  else self.engine.synthesize_batch)
-            outs = fn(texts, prompts, rng=rng)
-            for r, wav in zip(group, outs):
-                r.future.set_result(wav)
+            outs = self.engine.synthesize_vq_batch(
+                texts, prompts, rng=self._batch_rng(group))
             self.batches_dispatched += 1
             self.requests_served += len(group)
+            for r, wav in zip(group, outs):
+                r.future.set_result(wav)
         except Exception as e:  # per-batch failure must not kill the server
             for r in group:
                 if not r.future.done():

@@ -181,14 +181,20 @@ def restore_variables(path: str, cfg) -> Dict[str, Any]:
             data = f.read()
         try:
             return flax.serialization.from_bytes(template, data)
-        except Exception:
+        except Exception as folded_err:
             # trainer-exported reparamed weights: load under the (g, v)
             # template, then fold for serving
             from detail_tts_tpu.nn.common import fold_weight_norm_tree
 
             template_wn = init_variables(model, cfg, jax.random.PRNGKey(0),
                                          weight_norm=True)
-            loaded = flax.serialization.from_bytes(template_wn, data)
+            try:
+                loaded = flax.serialization.from_bytes(template_wn, data)
+            except Exception:
+                # neither parameterization matches: surface the ORIGINAL
+                # error (likely a corrupt/truncated file or a different
+                # config shape), not a misleading wn-template mismatch
+                raise folded_err
             return fold_weight_norm_tree(loaded)
 
     import orbax.checkpoint as ocp

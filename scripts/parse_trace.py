@@ -65,9 +65,17 @@ def _op_class(tf_op: str) -> str:
 
 def print_gaps(events, min_gap_ms: float):
     """Merge device-busy intervals; print idle gaps > min_gap_ms with the
-    events flanking them (what finished before, what started after)."""
-    ivs = sorted((e["ts"], e["ts"] + e["dur"], e.get("name", "")) for e in events
-                 if e.get("dur", 0) > 0)
+    events flanking them (what finished before, what started after).
+
+    Envelope spans (whole-program / step markers: no tf_op AND no source)
+    are excluded — they cover host stalls between kernels and would mask
+    exactly the gaps this view exists to find."""
+    def is_kernel(e):
+        a = e.get("args", {})
+        return bool(a.get("tf_op") or a.get("source"))
+
+    ivs = sorted((e["ts"], e["ts"] + e["dur"], e.get("name", ""))
+                 for e in events if e.get("dur", 0) > 0 and is_kernel(e))
     if not ivs:
         sys.exit("no device events")
     span0, span1 = ivs[0][0], max(b for _, b, _ in ivs)
@@ -95,9 +103,9 @@ def print_gaps(events, min_gap_ms: float):
 
 
 def main():
-    root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dtts_trace")
-    args = [a for a in sys.argv[2:] if not a.startswith("--")]
-    top_n = int(args[0]) if args else 40
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    root = Path(pos[0] if pos else "/tmp/dtts_trace")
+    top_n = int(pos[1]) if len(pos) > 1 else 40
     raw = "--raw" in sys.argv  # keep full op names (fusion.123 stays distinct)
     by_source = "--by-source" in sys.argv
     by_op = "--by-op" in sys.argv

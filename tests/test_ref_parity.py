@@ -649,6 +649,83 @@ def test_dpmpp_2m_sampler_loop_parity(ref_and_jax):
                                atol=5e-3, rtol=1e-2)
 
 
+def test_dpmpp_2m_small_steps_lower_order_final(ref_and_jax):
+    """steps < 10 branch: the reference samples with lower_order_final=True,
+    which drops the FINAL multistep update to first order (step_order =
+    min(order, steps+1-step), dpm_solver.py:1197-1200).  The live config is
+    steps=50 (branch never fires), but EngineConfig exposes the step count —
+    this pins the small-steps behavior by invoking the reference's in-tree
+    DPM_Solver directly with steps=6, mirroring k_diffusion_sample_loop's
+    construction (utils/diffusion.py:516-580)."""
+    from vqvae.utils.dpm_solver import (DPM_Solver, NoiseScheduleVP,
+                                        model_wrapper)
+
+    from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
+    from detail_tts_tpu.models.diffusion import dpmpp_2m_reference_sample_loop
+
+    G, model, variables, cfg = ref_and_jax
+    steps = 6
+    rng = np.random.default_rng(41)
+    b, t_code = 1, 6
+    t_mel = t_code * FRAMES_PER_CODE
+    latents = rng.normal(0, 1, (b, t_code, 768)).astype(np.float32)
+    refer = rng.normal(-6, 2, (b, 128, 48)).astype(np.float32)
+    noise = rng.normal(0, 1, (b, 128, t_mel)).astype(np.float32)
+
+    with torch.no_grad():
+        cond_ref = G.diffusion.get_conditioning(torch.from_numpy(refer))
+        mk = {"aligned_conditioning": torch.from_numpy(latents),
+              "conditioning_latent": cond_ref}
+
+        def model_split(x, t, **kw):
+            out = G.diffusion(x, t, **kw, **mk)
+            eps, _ = torch.split(out, out.shape[1] // 2, dim=1)
+            return eps
+
+        # diffusion.py:519-544 sans pbar; model_wrapper's classifier-free
+        # branch passes its dummy cond POSITIONALLY (dpm_solver.py:287)
+        def prewrap(x, t, *args, **kw):
+            x, _ = x.chunk(2)
+            t, _ = (t * 1000).chunk(2)
+            return torch.cat([model_split(x, t, conditioning_free=True),
+                              model_split(x, t)])
+
+        ns = NoiseScheduleVP(schedule="linear", continuous_beta_0=0.1 / 4,
+                             continuous_beta_1=20.0 / 4)
+        fn = model_wrapper(prewrap, ns, model_type="noise",
+                           guidance_type="classifier-free",
+                           condition=torch.Tensor(1),
+                           unconditional_condition=torch.Tensor(1),
+                           guidance_scale=cfg.diffusion.cond_free_k)
+        solver = DPM_Solver(fn, ns, algorithm_type="dpmsolver++")
+        out_ref = _np(solver.sample(torch.from_numpy(noise), steps=steps,
+                                    order=2, skip_type="time_uniform",
+                                    method="multistep"))
+
+    def run(m):
+        cond = m.diffusion_conditioning(jnp.asarray(refer.transpose(0, 2, 1)))
+        code_emb = m.diffusion_code_embedding(jnp.asarray(latents), cond)
+        biases = m.diffusion_attention_biases(t_mel)
+
+        def model_fn(x, t_orig, conditioning_free):
+            if x.shape[0] == 2 * b:
+                return m.diffusion_cfg_step(x, t_orig, code_emb, biases)
+            cf = (jnp.zeros((x.shape[0],), bool) if conditioning_free is None
+                  else conditioning_free)
+            return m.diffusion_step(x, t_orig, code_emb, cf, biases)
+
+        return dpmpp_2m_reference_sample_loop(
+            model_fn, jnp.asarray(noise.transpose(0, 2, 1)), steps=steps,
+            guidance_scale=cfg.diffusion.cond_free_k)
+
+    out_j = np.asarray(model.apply(variables, method=run))
+    l1 = float(np.mean(np.abs(out_ref.transpose(0, 2, 1) - out_j)))
+    print(f"dpm++2m steps=6 mel L1 vs reference: {l1:.6f}")
+    assert l1 <= 1e-2, l1
+    np.testing.assert_allclose(out_ref.transpose(0, 2, 1), out_j,
+                               atol=5e-3, rtol=1e-2)
+
+
 def test_kv_cache_decode_logits_parity(ref_and_jax):
     """Teacher-forced logits equivalence of the KV-cached decode path.
 
