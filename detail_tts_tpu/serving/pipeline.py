@@ -465,6 +465,18 @@ class TTSEngine:
 
     # ------------------------------------------------------------ pipelines
 
+    @staticmethod
+    def _effective_lengths(n: int, lengths, max_len: int,
+                           force_full: bool) -> np.ndarray:
+        """Decoded-length vector with the HF-parity final-token drop applied
+        (the reference always drops the last token: codes[:, :-1],
+        model_24k.py:794).  Under ``force_full`` lengths are statically
+        ``max_len``, so the host round-trip on ``lengths`` is skipped and
+        downstream stages enqueue while the decode still runs on device."""
+        if force_full:
+            return np.full((n,), max(max_len - 1, 1), np.int32)
+        return np.maximum(np.asarray(lengths) - 1, 1).astype(np.int32)
+
     def generate_codes(self, refer_mel, refer_len, text, rng,
                        force_full: bool = False,
                        max_len: Optional[int] = None):
@@ -472,14 +484,8 @@ class TTSEngine:
         max_len = max_len or self.ecfg.max_generate_length
         codes, lengths = self._generate(self.variables, refer_mel, refer_len,
                                         text, rng, max_len, force_full)
-        # HF-parity: the reference always drops the final token
-        # (codes[:, :-1], model_24k.py:794)
-        if force_full:
-            # lengths are statically max_len: skip the host round-trip so the
-            # downstream stages enqueue while the decode still runs on device
-            eff = np.full((codes.shape[0],), max(max_len - 1, 1), np.int32)
-        else:
-            eff = np.maximum(np.asarray(lengths) - 1, 1).astype(np.int32)
+        eff = self._effective_lengths(codes.shape[0], lengths, max_len,
+                                      force_full)
         return codes, eff
 
     def _pad_codes(self, codes, eff, vq_safe: bool = False
@@ -562,6 +568,13 @@ class TTSEngine:
 
         t0 = pending._t0
         timings = pending.timings
+        if timings is not None:
+            # Host work a caller did between dispatch_decode and
+            # dispatch_tail (e.g. the server finalizing the previous batch)
+            # is charged to its own bucket, not to 'generate'.
+            now = _time.perf_counter()
+            timings["gap"] = timings.get("gap", 0.0) + (now - t0)
+            t0 = now
 
         def tick(name, out=None):
             nonlocal t0
@@ -574,14 +587,8 @@ class TTSEngine:
             t0 = now
 
         codes = pending.codes
-        # HF-parity: the reference always drops the final token
-        # (codes[:, :-1], model_24k.py:794) — same math as generate_codes
-        if pending.force_full:
-            eff = np.full((codes.shape[0],), max(pending.max_len - 1, 1),
-                          np.int32)
-        else:
-            eff = np.maximum(np.asarray(pending.lengths) - 1,
-                             1).astype(np.int32)
+        eff = self._effective_lengths(codes.shape[0], pending.lengths,
+                                      pending.max_len, pending.force_full)
         tick("generate", codes)
         tick("diff_cond", pending.diff_cond)
         codes_b, wav_len, bucket = self._pad_codes(codes, eff)
