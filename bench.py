@@ -52,6 +52,12 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "2" if small else "8"))
     gen_codes = int(os.environ.get("BENCH_CODES", "16" if small else "400"))
+    # Fast mode (documented in README serving table): BENCH_SAMPLER=dpmpp_2m
+    # BENCH_STEPS=25 runs the reference's *configured* sampler at half the
+    # steps; default is the reference's LIVE path (50-step ancestral CFG,
+    # model_24k.py:489,558-583).
+    sampler = os.environ.get("BENCH_SAMPLER", "ancestral")
+    steps = os.environ.get("BENCH_STEPS")
     prompt_secs = 3.0
 
     cfg = small_test_config() if small else Config()
@@ -62,6 +68,8 @@ def main():
                             / cfg.data.hop_length) // 4 * 4,),
         code_buckets=(gen_codes,),
         pcm16_output=True,  # serving wire format; halves D2H transfer
+        diffusion_sampler=sampler,
+        diffusion_steps=int(steps) if steps else None,
     )
 
     t0 = time.perf_counter()
@@ -133,7 +141,13 @@ def main():
                 prev = h
             outs = eng.finalize_batch(prev)
             total_audio += sum(len(w) for w in outs) / sr
-            return time.perf_counter() - t0
+            wall = time.perf_counter() - t0
+            # the nominal k*audio_s RTF numerator is only valid while
+            # force_full pins every batch to identical audio length
+            assert abs(total_audio - k * audio_s) < 1e-3 * k * audio_s, (
+                f"pipelined audio {total_audio:.2f}s != nominal "
+                f"{k * audio_s:.2f}s")
+            return wall
 
         if os.environ.get("BENCH_SUSTAINED_ORDER") == "pipe_first":
             pipe_wall = pipelined_loop()
@@ -164,8 +178,13 @@ def main():
 
     wall = min(times)
     rtf = audio_s / wall
+    # metric name carries non-default mode suffixes so a fast-mode or
+    # batch-16 run can't be mistaken for the headline batch-8 number
+    name = "synthesis_rtf_batch8" if batch == 8 else f"synthesis_rtf_batch{batch}"
+    if sampler != "ancestral" or steps:
+        name += f"_{sampler}{steps or ''}"
     print(json.dumps({
-        "metric": "synthesis_rtf_batch8",
+        "metric": name,
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),
