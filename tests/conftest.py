@@ -35,6 +35,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """A module-level `smoke` mark plus a per-test `slow` mark means "fast
+    file, slow outlier": when the user asked for the smoke tier (`-m smoke`),
+    deselect those outliers so the tier keeps its <5-minute budget.
+
+    Stripping the mark from ``item.own_markers`` is NOT enough — module-level
+    ``pytestmark`` lives on the Module node and ``-m`` matches via
+    ``iter_markers()`` over the whole parent chain — so deselect explicitly.
+    """
+    expr = config.getoption("-m") or ""
+    if "smoke" not in expr or "slow" in expr:
+        return
+    keep, drop = [], []
+    for item in items:
+        if (item.get_closest_marker("slow") is not None
+                and item.get_closest_marker("smoke") is not None):
+            drop.append(item)
+        else:
+            keep.append(item)
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
+
+
 @pytest.fixture
 def rng():
     import jax

@@ -1,5 +1,7 @@
 """Trainable pallas attention (custom VJP): forward + all four gradients
 against the XLA einsum reference (interpret mode on CPU)."""
+import pytest
+
 import math
 
 import jax
@@ -7,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.ops.pallas.attention import attention_train_padded
+
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
 
 
 def _reference(q, k, v, bias, sm_scale):

@@ -18,6 +18,8 @@ from detail_tts_tpu.nn.diff_blocks import AttentionBlock
 from detail_tts_tpu.nn.rel_attention import RelPosMultiHeadAttention
 from detail_tts_tpu.nn.style_encoder import StyleSelfAttention
 
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
+
 
 def _run(module, *args, **kwargs):
     rng = jax.random.PRNGKey(0)

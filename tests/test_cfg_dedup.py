@@ -1,10 +1,14 @@
 """CFG-deduped diffusion forward == flag-based forward (exact)."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.models.diffusion_model import DiffusionTts
+
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
 
 
 def test_cfg_call_matches_flagged_call():

@@ -13,6 +13,8 @@ from detail_tts_tpu.serving.http_api import (_decode_wav_bytes,
                                              _encode_wav_bytes, serve)
 from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
 
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
+
 
 def test_wav_codec_roundtrip():
     wav = np.random.default_rng(0).uniform(-0.5, 0.5, 2400).astype(np.float32)

@@ -1,7 +1,11 @@
 """Long-form chunking + crossfade concat + samplers."""
+import pytest
+
 import numpy as np
 
 from detail_tts_tpu.serving.longform import crossfade_concat, split_sentences
+
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
 
 
 def test_split_sentences():

@@ -9,6 +9,8 @@ import torch
 
 from detail_tts_tpu.audio import mel as jmel
 
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
+
 
 def torch_spectrogram(y: torch.Tensor, n_fft=1024, hop=256, win=1024):
     """torch.stft magnitude exactly as the reference computes it

@@ -9,8 +9,9 @@ def _have_native():
     return load_library() is not None
 
 
-pytestmark = pytest.mark.skipif(not _have_native(),
-                                reason="no g++ toolchain available")
+pytestmark = [pytest.mark.smoke,
+              pytest.mark.skipif(not _have_native(),
+                                reason="no g++ toolchain available")]
 
 
 def test_load_wav_pcm16_no_resample(tmp_path):

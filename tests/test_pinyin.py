@@ -10,6 +10,8 @@ import pytest
 
 from detail_tts_tpu.text import pinyin as P
 
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
+
 
 GOLDENS = [
     # the reference's own demo sentence (api.py:14)
@@ -93,6 +95,7 @@ def test_parity_vs_pypinyin():
     assert agree / total >= 0.97, (agree, total)
 
 
+@pytest.mark.slow  # ~2-4 min: builds a serving engine / jits the extraction program
 def test_engine_synthesizes_raw_chinese():
     """The flagship use case end-to-end in THIS environment: raw Chinese
     text (no pypinyin available) through the serving engine."""

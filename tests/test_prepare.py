@@ -1,4 +1,6 @@
 """Data-prep pipeline tests: numpy VAD, ASR jsonl, typical sampling."""
+import pytest
+
 import json
 
 import jax
@@ -6,7 +8,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.data.prepare import (asr_to_jsonl, split_on_silence,
+
                                          vad_file)
+
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
 
 
 def _speechy(sr, secs, seed=0):
@@ -64,6 +69,7 @@ def test_asr_to_jsonl_filters(tmp_path):
     assert n == len(rows) == 1
 
 
+@pytest.mark.slow  # ~2-4 min: builds a serving engine / jits the extraction program
 def test_extract_vq_bucket_padding_matches_exact(tmp_path):
     """Bucketed (silence-floor padded) extraction returns the SAME codes as
     exact-length extraction: with 0.0 padding (a loud log-mel frame) the

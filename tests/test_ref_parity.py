@@ -20,6 +20,8 @@ from detail_tts_tpu.models.synthesizer import SynthesizerTrn
 from detail_tts_tpu.train.step import init_variables
 from tests.ref_loader import load_reference_synthesizer
 
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def ref_and_jax():

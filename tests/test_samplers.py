@@ -20,6 +20,8 @@ from detail_tts_tpu.models.diffusion import (ddim_sample_loop,
                                              p_sample_loop)
 from detail_tts_tpu.models.synthesizer import make_infer_schedule
 
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
+
 TARGET = 0.7  # the analytic model's data mode
 
 
@@ -99,6 +101,7 @@ def test_ddim_deterministic():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # ~2-4 min: builds a serving engine / jits the extraction program
 def test_engine_sampler_selection():
     """EngineConfig.diffusion_sampler switches the serving diffuse path."""
     from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
@@ -119,6 +122,7 @@ def test_engine_sampler_selection():
         bad.synthesize_batch(["a"], [wav], rng=jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow  # ~2-4 min: builds a serving engine / jits the extraction program
 def test_engine_diffusion_steps_override():
     """EngineConfig.diffusion_steps shrinks the serving schedule only."""
     from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine

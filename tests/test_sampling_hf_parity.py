@@ -15,8 +15,11 @@ from transformers import (LogitsProcessorList, RepetitionPenaltyLogitsProcessor,
                           TypicalLogitsWarper)
 
 from detail_tts_tpu.ops.sampling import (apply_repetition_penalty,
+
                                          apply_temperature, apply_top_p,
                                          apply_typical)
+
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
 
 V = 64
 NEG = -float("inf")

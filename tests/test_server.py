@@ -9,6 +9,8 @@ from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
 from detail_tts_tpu.serving.server import TTSServer
 
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
+
 
 def _engine():
     cfg = small_test_config()

@@ -1,4 +1,6 @@
 """End-to-end serving tests on the small config (virtual CPU mesh)."""
+import pytest
+
 import dataclasses
 
 import jax
@@ -7,6 +9,8 @@ import numpy as np
 
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
+
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
 
 
 def _small_engine():

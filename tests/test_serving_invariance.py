@@ -9,12 +9,16 @@ Pins the masking math the bucket strategy relies on (VERDICT r1 weak #6/#7):
   exactly invariant to how far the codes were stop-padded;
 * vq decode path: trimmed output mel is invariant away from the pad boundary.
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.serving.pipeline import EngineConfig, random_engine
+
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
 
 
 def _engine(prompt_buckets=(24, 48), code_buckets=(8, 16)):

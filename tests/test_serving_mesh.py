@@ -1,4 +1,6 @@
 """Sharded serving: engine on an 8-device (4x2) CPU mesh."""
+import pytest
+
 import contextlib
 
 import jax
@@ -9,7 +11,10 @@ from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.parallel.mesh import make_mesh
 from detail_tts_tpu.serving.pipeline import (EngineConfig, TTSEngine,
+
                                              fast_random_variables)
+
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
 
 
 def test_sharded_synthesis():

@@ -10,8 +10,11 @@ import sys
 import pytest
 
 from detail_tts_tpu.text.tokenizer import (BUNDLED_VOCABS, CharTokenizer,
+
                                            VoiceBpeTokenizer, make_tokenizer,
                                            resolve_vocab)
+
+pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below
 
 SAMPLES = [
     "ni3 hao3 shi4 jie4",

@@ -13,6 +13,8 @@ from detail_tts_tpu.data.dataset import (BucketSpec, DataIterator,
                                          JsonlTtsDataset, collate, read_wav)
 from detail_tts_tpu.text.tokenizer import CharTokenizer
 
+pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
+
 
 def _make_dataset(tmp_path, n=4, secs=1.2, sr=24000):
     from scipy.io import wavfile
