@@ -126,10 +126,15 @@ def bench_target(target: str, small: bool) -> dict:
         f"bf16={use_bf16} wn={weight_norm} "
         f"platform={jax.devices()[0].platform}")
 
+    # BENCH_DONATE=1 measures the production trainer's donated-buffer step
+    # (in-place param/opt updates); default 0 keeps the historical
+    # comparable numbers (state reused across timed iterations either way —
+    # donation only changes XLA's buffer aliasing).
+    donate = os.environ.get("BENCH_DONATE", "0") == "1"
     t0 = time.perf_counter()
     state, model, disc = make_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(model, disc, cfg, donate=False)
-    log(f"bench_train: init {time.perf_counter() - t0:.1f}s")
+    step = make_train_step(model, disc, cfg, donate=donate)
+    log(f"bench_train: init {time.perf_counter() - t0:.1f}s donate={donate}")
 
     mel_frames = 48 if small else 496  # the training crop (dataset_24k.py:162)
     text_len = 8 if small else 64
