@@ -167,6 +167,64 @@ def asr_to_jsonl(clip_paths: Sequence[str], jsonl_path: str,
     return n
 
 
+def load_transcript_table(path: str) -> List[Tuple[str, str]]:
+    """Read (clip_path, text) pairs from a transcript file.
+
+    Accepts jsonl rows ``{"path", "text"}``, tab-separated ``path\\ttext``,
+    or LJSpeech-style ``path|text`` lines.
+    """
+    pairs: List[Tuple[str, str]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            if line.lstrip().startswith("{"):
+                row = json.loads(line)
+                pairs.append((row["path"], row["text"]))
+            elif "\t" in line:
+                p, t = line.split("\t", 1)
+                pairs.append((p, t))
+            else:
+                p, t = line.split("|", 1)
+                pairs.append((p, t))
+    return pairs
+
+
+def transcripts_to_jsonl(pairs, jsonl_path: str,
+                         clips_dir: Optional[str] = None,
+                         min_chars: int = 2, drop_latin: bool = True) -> int:
+    """Pre-existing transcripts -> jsonl rows: the ASR-phase passthrough.
+
+    The reference hard-codes a modelscope Paraformer-zh engine
+    (asr_process.py:14-46); corpora that already ship transcripts skip ASR
+    entirely and feed this instead.  Applies the same row filters as
+    ``asr_to_jsonl`` (min length, latin drop) plus a missing-file drop (the
+    per-clip fault tolerance of the ASR phase).  ``pairs`` is an iterable of
+    (path, text) or a dict; relative paths resolve against ``clips_dir``.
+    Returns rows written.
+    """
+    if isinstance(pairs, dict):
+        pairs = pairs.items()
+    n = 0
+    with open(jsonl_path, "a") as f:
+        for path, text in pairs:
+            if clips_dir is not None and not os.path.isabs(path):
+                path = os.path.join(clips_dir, path)
+            text = text.strip()
+            if len(text) < min_chars:
+                continue
+            if drop_latin and _LATIN_RE.search(text):
+                continue
+            if not os.path.exists(path):
+                print(f"transcripts: missing wav, dropping row: {path}")
+                continue
+            f.write(json.dumps({"text": text, "path": path},
+                               ensure_ascii=False) + "\n")
+            n += 1
+    return n
+
+
 # ---------------------------------------------------------------------------
 # Phase 3: offline VQ-code extraction
 # ---------------------------------------------------------------------------

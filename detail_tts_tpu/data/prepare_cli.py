@@ -9,6 +9,12 @@ ASR (phase 2) needs an engine; pass a python entry point exposing
 
   python -m detail_tts_tpu.data.prepare_cli asr --clips-dir clips/ \
       --jsonl data.jsonl --recognizer mypkg.myasr
+
+Corpora that already ship transcripts skip ASR with the passthrough
+(see examples/prepare_demo.py for the full offline flow):
+
+  python -m detail_tts_tpu.data.prepare_cli transcripts \
+      --table metadata.tsv --jsonl data.jsonl [--clips-dir clips/]
 """
 from __future__ import annotations
 
@@ -37,6 +43,14 @@ def main(argv=None):
                    help="module with transcribe(wav, sr) -> str")
     a.add_argument("--workers", type=int, default=4)
 
+    t = sub.add_parser("transcripts",
+                       help="passthrough: pre-existing transcripts -> jsonl "
+                            "(skips ASR; jsonl/tsv/LJSpeech '|' tables)")
+    t.add_argument("--table", required=True)
+    t.add_argument("--jsonl", required=True)
+    t.add_argument("--clips-dir", default=None,
+                   help="base dir for relative paths in the table")
+
     e = sub.add_parser("extract-vq")
     e.add_argument("--jsonl", required=True)
     e.add_argument("--ckpt", required=True)
@@ -63,6 +77,13 @@ def main(argv=None):
         clips = sorted(glob.glob(os.path.join(args.clips_dir, "*.wav")))
         n = asr_to_jsonl(clips, args.jsonl, mod.transcribe,
                          workers=args.workers)
+        print(f"wrote {n} rows to {args.jsonl}")
+    elif args.cmd == "transcripts":
+        from detail_tts_tpu.data.prepare import (load_transcript_table,
+                                                 transcripts_to_jsonl)
+
+        n = transcripts_to_jsonl(load_transcript_table(args.table),
+                                 args.jsonl, clips_dir=args.clips_dir)
         print(f"wrote {n} rows to {args.jsonl}")
     elif args.cmd == "extract-vq":
         from detail_tts_tpu.config import Config

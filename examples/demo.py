@@ -11,7 +11,10 @@ Synthesizes a short Chinese sentence from a voice prompt:
 Run:  python examples/demo.py --prompt speaker.wav [--ckpt ...] [--cpu]
 """
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -2,6 +2,7 @@
 import pytest
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,45 @@ def test_asr_to_jsonl_filters(tmp_path):
     assert n == len(rows) == 1
 
 
+def test_transcripts_passthrough(tmp_path):
+    """ASR-phase passthrough: same filters, missing-wav drop, table formats."""
+    from scipy.io import wavfile
+
+    from detail_tts_tpu.data.prepare import (load_transcript_table,
+                                             transcripts_to_jsonl)
+
+    sr = 24000
+    for name in ("a.wav", "b.wav"):
+        wavfile.write(str(tmp_path / name), sr,
+                      (_speechy(sr, 1.0) * 32767).astype(np.int16))
+
+    table = str(tmp_path / "meta.tsv")
+    with open(table, "w") as f:
+        f.write("a.wav\t你好世界\n")        # kept
+        f.write("b.wav\thas LATIN text\n")  # dropped: latin
+        f.write("a.wav\t短\n")              # dropped: < min_chars
+        f.write("missing.wav\t这条没有音频\n")  # dropped: no wav
+
+    jsonl = str(tmp_path / "d.jsonl")
+    n = transcripts_to_jsonl(load_transcript_table(table), jsonl,
+                             clips_dir=str(tmp_path))
+    rows = [json.loads(l) for l in open(jsonl)]
+    assert n == len(rows) == 1
+    assert rows[0]["text"] == "你好世界"
+    assert rows[0]["path"] == str(tmp_path / "a.wav")
+
+    # the other two table formats parse to the same pairs
+    ljs = str(tmp_path / "meta.csv")
+    with open(ljs, "w") as f:
+        f.write("a.wav|你好世界\n")
+    jl = str(tmp_path / "meta.jsonl")
+    with open(jl, "w") as f:
+        f.write(json.dumps({"path": "a.wav", "text": "你好世界"},
+                           ensure_ascii=False) + "\n")
+    assert (load_transcript_table(ljs) == load_transcript_table(jl)
+            == [("a.wav", "你好世界")])
+
+
 @pytest.mark.slow  # ~2-4 min: builds a serving engine / jits the extraction program
 def test_extract_vq_bucket_padding_matches_exact(tmp_path):
     """Bucketed (silence-floor padded) extraction returns the SAME codes as
@@ -113,6 +153,38 @@ def test_extract_vq_bucket_padding_matches_exact(tmp_path):
 
     assert bucketed.shape == exact.shape
     np.testing.assert_array_equal(bucketed, exact)
+
+
+@pytest.mark.slow  # ~1.5 min: jits the small-model VQ extraction in a subprocess
+def test_prepare_demo_end_to_end(tmp_path):
+    """examples/prepare_demo.py runs every prep phase (VAD -> transcripts
+    passthrough -> VQ extraction -> one training batch) on a tiny corpus."""
+    import subprocess
+    import sys
+
+    from scipy.io import wavfile
+
+    sr = 24000
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    sil = np.zeros(int(0.8 * sr), np.float32)
+    wav = np.concatenate([sil, _speechy(sr, 1.5, 0), sil,
+                          _speechy(sr, 2.0, 1), sil])
+    wavfile.write(str(raw_dir / "rec.wav"), sr,
+                  (wav * 32767).astype(np.int16))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "prepare_demo.py"),
+         "--in-dir", str(raw_dir), "--work-dir", str(tmp_path / "work"),
+         "--cpu", "--small"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[4/4] batch:" in out.stdout, out.stdout
+    assert (tmp_path / "work" / "data.jsonl").exists()
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "work" / "clips" / "*.vq.npy"))
 
 
 def test_typical_sampling_filters_atypical():
