@@ -123,7 +123,9 @@ def main():
         print(f"  {k:12s} {v/1e12:8.3f} TFLOP")
     print(f"  {'total':12s} {total/1e12:8.3f} TFLOP "
           f"-> {1e3 * total / V5E_BF16_FLOPS:6.1f} ms at v5e bf16 peak")
-    full = Config().train.gradient_accumulate_every
+    # GAN targets run un-accumulated (bench_train forces accum=1 there)
+    full = (Config().train.gradient_accumulate_every
+            if target in ("gpt", "diff", "vqvae") else 1)
     print(f"  x{full} microbatches = {full * total/1e12:8.3f} TFLOP "
           f"-> {1e3 * full * total / V5E_BF16_FLOPS:6.1f} ms/step at peak")
 
