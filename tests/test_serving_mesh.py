@@ -1,17 +1,15 @@
 """Sharded serving: engine on an 8-device (4x2) CPU mesh."""
-import pytest
-
 import contextlib
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from detail_tts_tpu.audio.mel import FRAMES_PER_CODE
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.parallel.mesh import make_mesh
 from detail_tts_tpu.serving.pipeline import (EngineConfig, TTSEngine,
-
                                              fast_random_variables)
 
 pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'
