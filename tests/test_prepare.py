@@ -9,7 +9,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from detail_tts_tpu.data.prepare import (asr_to_jsonl, split_on_silence,
-
                                          vad_file)
 
 pytestmark = pytest.mark.smoke  # <5-min tier (pytest.ini); slow outliers opt out below

@@ -15,7 +15,6 @@ from transformers import (LogitsProcessorList, RepetitionPenaltyLogitsProcessor,
                           TypicalLogitsWarper)
 
 from detail_tts_tpu.ops.sampling import (apply_repetition_penalty,
-
                                          apply_temperature, apply_top_p,
                                          apply_typical)
 

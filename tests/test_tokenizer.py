@@ -10,7 +10,6 @@ import sys
 import pytest
 
 from detail_tts_tpu.text.tokenizer import (BUNDLED_VOCABS, CharTokenizer,
-
                                            VoiceBpeTokenizer, make_tokenizer,
                                            resolve_vocab)
 

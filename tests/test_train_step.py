@@ -10,7 +10,6 @@ import pytest
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.train.optim import TARGET_TRAINABLE
 from detail_tts_tpu.train.step import (dummy_batch, make_train_state,
-
                                        make_train_step, stack_microbatches)
 
 pytestmark = pytest.mark.slow  # multi-minute tier; deselect with -m 'not slow'

@@ -22,7 +22,6 @@ import torch
 
 from detail_tts_tpu.config import small_test_config
 from detail_tts_tpu.nn.common import (Conv1d, Conv2d, ConvTranspose1d,
-
                                       fold_weight_norm_tree,
                                       unfold_weight_norm_tree,
                                       weight_norm_reparam)
