@@ -194,3 +194,43 @@ def test_typical_sampling_filters_atypical():
     # the high-probability, near-entropy tokens survive; outliers masked
     assert bool(jnp.isfinite(out[0, 0]))
     assert not bool(jnp.isfinite(out[0, 4]))
+
+
+@pytest.mark.slow  # ~6 min: two 2-step training stages + serving, subprocess
+def test_lifecycle_demo_end_to_end(tmp_path):
+    """examples/lifecycle_demo.py chains the whole user path: prepare
+    (VAD -> jsonl) -> vqvae stage -> gpt stage grown from its checkpoint
+    -> TTSEngine serving from the trained Orbax ckpt.  --vq-only keeps the
+    serve phase lean (full-diffusion serving is covered by test_serving)."""
+    import subprocess
+    import sys
+
+    from scipy.io import wavfile
+
+    sr = 24000
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    sil = np.zeros(int(0.8 * sr), np.float32)
+    wav = np.concatenate([sil, _speechy(sr, 1.5, 0), sil,
+                          _speechy(sr, 2.0, 1), sil, _speechy(sr, 1.2, 2),
+                          sil])
+    wavfile.write(str(raw_dir / "rec.wav"), sr,
+                  (wav * 32767).astype(np.int16))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "lifecycle_demo.py"),
+         "--in-dir", str(raw_dir), "--work-dir", str(tmp_path / "work"),
+         "--cpu", "--small", "--steps", "2", "--vq-only"],
+        capture_output=True, text=True, timeout=900, cwd=repo)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    # every phase line printed, checkpoints + final audio on disk
+    for tag in ("[1/4] prepare:", "[2/4] train vqvae:",
+                "[3/4] train gpt (grown from vqvae ckpt):",
+                "[4/4] serve: wrote"):
+        assert tag in out.stdout, out.stdout
+    assert (tmp_path / "work" / "train_vqvae" / "ckpt").is_dir()
+    assert (tmp_path / "work" / "train_gpt" / "ckpt").is_dir()
+    wav_path = tmp_path / "work" / "lifecycle.wav"
+    sr2, pcm = wavfile.read(str(wav_path))
+    assert sr2 == sr and pcm.size > 0
