@@ -234,3 +234,51 @@ def test_lifecycle_demo_end_to_end(tmp_path):
     wav_path = tmp_path / "work" / "lifecycle.wav"
     sr2, pcm = wavfile.read(str(wav_path))
     assert sr2 == sr and pcm.size > 0
+
+
+def test_prepare_cli_subcommands(tmp_path, monkeypatch, capsys):
+    """prepare_cli end-to-end at the CLI layer: vad -> asr (stub recognizer
+    module) -> transcripts passthrough.  extract-vq needs a checkpoint and is
+    covered via the library call in test_prepare_demo_end_to_end."""
+    import sys
+
+    from scipy.io import wavfile
+
+    from detail_tts_tpu.data.prepare_cli import main
+
+    sr = 24000
+    raw_dir, clips_dir = tmp_path / "raw", tmp_path / "clips"
+    raw_dir.mkdir()
+    sil = np.zeros(int(0.8 * sr), np.float32)
+    wav = np.concatenate([sil, _speechy(sr, 1.2, 0), sil,
+                          _speechy(sr, 2.0, 1), sil])
+    wavfile.write(str(raw_dir / "rec.wav"), sr, (wav * 32767).astype(np.int16))
+
+    main(["vad", "--in-dir", str(raw_dir), "--out-dir", str(clips_dir),
+          "--workers", "1"])
+    clips = sorted(os.listdir(clips_dir))
+    assert len(clips) == 2 and "wrote 2 clips" in capsys.readouterr().out
+
+    # asr: stub recognizer module resolved via --recognizer import path
+    stub_dir = tmp_path / "stub"
+    stub_dir.mkdir()
+    (stub_dir / "fake_asr.py").write_text(
+        "def transcribe(wav, sr):\n    return '你好世界测试'\n")
+    monkeypatch.syspath_prepend(str(stub_dir))
+    asr_jsonl = str(tmp_path / "asr.jsonl")
+    main(["asr", "--clips-dir", str(clips_dir), "--jsonl", asr_jsonl,
+          "--recognizer", "fake_asr", "--workers", "1"])
+    rows = [json.loads(l) for l in open(asr_jsonl)]
+    assert len(rows) == 2 and all(r["text"] == "你好世界测试" for r in rows)
+
+    # transcripts passthrough: LJSpeech-style '|' table, relative paths
+    table = tmp_path / "meta.txt"
+    table.write_text("".join(f"{c}|第{i}句转写文本\n"
+                             for i, c in enumerate(clips)))
+    tr_jsonl = str(tmp_path / "tr.jsonl")
+    main(["transcripts", "--table", str(table), "--jsonl", tr_jsonl,
+          "--clips-dir", str(clips_dir)])
+    rows = [json.loads(l) for l in open(tr_jsonl)]
+    assert [r["text"] for r in rows] == ["第0句转写文本", "第1句转写文本"]
+    assert all(os.path.isabs(r["path"]) and os.path.exists(r["path"])
+               for r in rows)
