@@ -89,10 +89,21 @@ def main():
                                     force_full=True, timings=timings)
         return sum(len(w) for w in outs) / sr
 
+    def cache_entries():
+        try:
+            return len([f for f in os.listdir(cache_dir) if "cache" in f])
+        except OSError:
+            return 0
+
+    n_cached = cache_entries()
     t0 = time.perf_counter()
     audio_s = run(0)  # compile + first run
+    n_new = cache_entries() - n_cached
+    # n_new==0: every program was a persistent-cache hit and the wall below
+    # is executable/weight *transport* + first execution, not XLA compile
+    # (see README "Cold start / deployment" for the measured decomposition)
     log(f"bench: warmup (compile) {time.perf_counter() - t0:.1f}s, "
-        f"audio={audio_s:.1f}s")
+        f"audio={audio_s:.1f}s, new_compile_cache_entries={n_new}")
 
     trace_dir = os.environ.get("BENCH_TRACE")
     if trace_dir:
