@@ -9,6 +9,7 @@ Synthesizes a short Chinese sentence from a voice prompt:
   4. long-form synthesis via sentence chunking.
 
 Run:  python examples/demo.py --prompt speaker.wav [--ckpt ...] [--cpu]
+      python examples/demo.py --prompt speaker.wav --small --cpu  # smoke
 """
 import argparse
 import os
@@ -24,7 +25,11 @@ def main():
     p.add_argument("--prompt", required=True)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--text", default="大家好，这是一个端到端的语音合成演示。")
+    p.add_argument("--small", action="store_true",
+                   help="small_test_config() model — the whole demo runs "
+                        "in ~a minute on CPU (random weights)")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--text", default=None)
     args = p.parse_args()
 
     if args.cpu:
@@ -33,27 +38,41 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    from detail_tts_tpu.config import Config
     from detail_tts_tpu.serving.api import build_engine, load_wav, save_wav
     from detail_tts_tpu.serving.longform import synthesize_long
 
-    eng = build_engine(None, args.ckpt)
+    text = args.text or ("你好。" if args.small
+                         else "大家好，这是一个端到端的语音合成演示。")
+    if args.small:
+        from detail_tts_tpu.config import small_test_config
+        from detail_tts_tpu.serving.pipeline import (EngineConfig,
+                                                     random_engine)
+
+        ecfg = EngineConfig(max_generate_length=8, text_buckets=(16,),
+                            prompt_buckets=(32,), code_buckets=(8,))
+        eng = random_engine(small_test_config(), engine_cfg=ecfg)
+    else:
+        eng = build_engine(None, args.ckpt)
     sr = eng.cfg.data.sampling_rate
     prompt = load_wav(args.prompt, sr)
 
-    wav = eng.synthesize(args.text, prompt, rng=jax.random.PRNGKey(0))
-    save_wav("demo_full.wav", wav, sr)
+    def out(name):
+        return os.path.join(args.out_dir, name)
+
+    wav = eng.synthesize(text, prompt, rng=jax.random.PRNGKey(0))
+    save_wav(out("demo_full.wav"), wav, sr)
     print(f"demo_full.wav: {len(wav) / sr:.2f}s (diffusion path)")
 
-    wav_vq = eng.synthesize_vq_batch([args.text], [prompt],
+    wav_vq = eng.synthesize_vq_batch([text], [prompt],
                                      rng=jax.random.PRNGKey(0))[0]
-    save_wav("demo_vq.wav", wav_vq, sr)
+    save_wav(out("demo_vq.wav"), wav_vq, sr)
     print(f"demo_vq.wav: {len(wav_vq) / sr:.2f}s (diffusion-free path)")
 
-    long_text = args.text * 3
+    long_text = text * 3
     wav_long = synthesize_long(eng, long_text, prompt,
-                               rng=jax.random.PRNGKey(1))
-    save_wav("demo_long.wav", wav_long, sr)
+                               rng=jax.random.PRNGKey(1),
+                               max_chars=4 if args.small else 120)
+    save_wav(out("demo_long.wav"), wav_long, sr)
     print(f"demo_long.wav: {len(wav_long) / sr:.2f}s (long-form chunked)")
 
 

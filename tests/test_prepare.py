@@ -236,6 +236,37 @@ def test_lifecycle_demo_end_to_end(tmp_path):
     assert sr2 == sr and pcm.size > 0
 
 
+@pytest.mark.slow  # ~2 min: builds a small serving engine in a subprocess
+def test_demo_small_end_to_end(tmp_path):
+    """examples/demo.py --small: the reference demo.ipynb flow (zero-shot
+    diffusion path + diffusion-free VQ path + long-form chunking) through
+    a small random-weight engine, at the script level."""
+    import subprocess
+    import sys
+
+    from scipy.io import wavfile
+
+    sr = 24000
+    prompt = str(tmp_path / "prompt.wav")
+    wavfile.write(prompt, sr, (_speechy(sr, 2.0, 0) * 32767).astype(np.int16))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "demo.py"),
+         "--prompt", prompt, "--small", "--cpu",
+         "--out-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900, cwd=repo)
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    for name in ("demo_full.wav", "demo_vq.wav", "demo_long.wav"):
+        assert f"{name}:" in out.stdout, out.stdout
+        sr2, pcm = wavfile.read(str(tmp_path / name))
+        assert sr2 == sr and pcm.size > 0, name
+    # long-form chunks 3 sentences and crossfades: strictly more audio
+    n_full = wavfile.read(str(tmp_path / "demo_full.wav"))[1].size
+    n_long = wavfile.read(str(tmp_path / "demo_long.wav"))[1].size
+    assert n_long > n_full
+
+
 def test_prepare_cli_subcommands(tmp_path, monkeypatch, capsys):
     """prepare_cli end-to-end at the CLI layer: vad -> asr (stub recognizer
     module) -> transcripts passthrough.  extract-vq needs a checkpoint and is
